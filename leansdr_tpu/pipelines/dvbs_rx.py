@@ -1,0 +1,234 @@
+"""DVB-S receiver pipeline (the leandvb equivalent, reference
+leandvb.cc:157-724).
+
+IQ ingest -> (scale) -> batched cstln_receiver scan on device ->
+algebraic deconvolution -> MPEG sync/framing -> deinterleave -> RS(204,188)
+-> derandomize -> TS packets.
+
+The demodulator runs on the TPU as a `lax.scan` batched over channels
+(dsp/receiver.py); the byte-domain stages run as vectorized host ops with
+per-channel FSM state (lock state machines operate at packet rate, far off
+the hot path). Chunk boundaries carry explicit backlogs, mirroring the
+reference's pipebuf fill levels.
+"""
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..dsp import receiver
+from ..dsp.cstln import Predef, make_dvbs2_constellation
+from ..fec import deconv, interleave, prbs, rs
+from ..proto.framing import MpegSync
+
+TS_SIZE = 188
+RS_SIZE = 204
+
+
+@dataclass
+class RxConfig:
+    Fs: float = 2.4e6
+    Fm: float = 2e6
+    constellation: Predef = Predef.QPSK
+    rate: str = "1/2"
+    sampler: str = "linear"
+    float_scale: float = 1.0
+    fastlock: bool = False
+    viterbi: bool = False
+    hard_metric: bool = False
+    allow_drift: bool = False
+    Ftune: float = 0.0
+    Finfo: float = 5.0
+    rrc_rej: float = 30.0
+    rrc_steps: int = 0
+    rolloff: float = 0.35
+
+
+class _DeconvolSync:
+    """Driver for the algebraic deconvolver (deconvol_sync, dvb.h:122-476).
+
+    Keeps a symbol backlog; decodes via the static-window formulation in
+    fec/deconv.py. Non-fastlock: single locked sync, rotated by
+    next_sync(); fastlock: all 4 hypotheses decoded each block, fewest
+    deconvolution errors wins, symbol slip when BER > 1/3.
+    """
+
+    def __init__(self, rate: str, fastlock: bool):
+        self.spec = deconv.deconv_spec(rate)
+        self.rate = rate
+        self.fastlock = fastlock
+        self.locked = 0
+        self.skip = 0
+        self.backlog = np.empty(0, np.uint8)   # hard symbols
+
+    def next_sync(self):
+        # dvb.h:185-193
+        self.locked += 1
+        if self.locked == 4:
+            self.locked = 0
+            self.skip = 1
+
+    def process(self, symbols: np.ndarray) -> np.ndarray:
+        self.backlog = np.concatenate([self.backlog, symbols])
+        if self.skip:
+            self.backlog = self.backlog[self.skip:]
+            self.skip = 0
+        spec = self.spec
+        nbits = 2 * len(self.backlog)
+        if nbits < deconv.TRACEBACK:
+            return np.empty(0, np.uint8)
+        P = (nbits - deconv.TRACEBACK) // spec.punctweight + 1
+        nppb = int(np.lcm(8, spec.punctperiod)) // spec.punctperiod
+        P = (P // nppb) * nppb
+        nbytes = P * spec.punctperiod // 8
+        # Match the reference's "require enough symbols to discriminate"
+        # threshold (dvb.h:424-426).
+        if nbytes < 32:
+            return np.empty(0, np.uint8)
+
+        if self.fastlock:
+            errs = [deconv.deconvolve_errors(self.backlog, self.rate, s)
+                    for s in range(4)]
+            best = int(np.argmin(errs))
+            if best != self.locked:
+                self.locked = best
+            if errs[best] > nbytes * 8 // 3:
+                self.skip = 1
+
+        out = deconv.deconvolve_block(self.backlog, self.rate, self.locked)
+        out = out[:nbytes]
+        # Advance: drop the symbols fully consumed, keeping the window
+        # overlap (windows end at TRACEBACK + p*punctweight bits).
+        consumed_bits = P * spec.punctweight
+        self.backlog = self.backlog[consumed_bits // 2:]
+        return out
+
+
+class DvbsReceiver:
+    """Single-channel streaming receiver with device-batched demodulation."""
+
+    def __init__(self, cfg: RxConfig):
+        self.cfg = cfg
+        rate = cfg.rate
+        cstln = make_dvbs2_constellation(cfg.constellation, rate)
+        if cfg.hard_metric:
+            import copy
+            cstln = copy.deepcopy(cstln)
+            cstln.harden()
+        self.cstln = cstln
+
+        omega = cfg.Fs / cfg.Fm
+        sampler = cfg.sampler
+        rrc_coeffs = ()
+        rrc_steps = 1
+        if sampler == "rrc":
+            from ..dsp import filtergen
+            rrc_steps = cfg.rrc_steps or max(1, int(64 * cfg.Fm / cfg.Fs))
+            Frrc = cfg.Fs * rrc_steps
+            transition = (cfg.Fm / 2) * cfg.rolloff
+            order = int(cfg.rrc_rej * Frrc / (22 * transition))
+            rrc_coeffs = tuple(
+                filtergen.root_raised_cosine(order, cfg.Fm / Frrc,
+                                             cfg.rolloff).tolist())
+        self.params = receiver.ReceiverParams(
+            omega=omega,
+            sampler=sampler,
+            pll_adjustment=(1.0 / 6 if cfg.viterbi else 1.0),
+            allow_drift=cfg.allow_drift,
+            meas_decimation=int(cfg.Fs / cfg.Finfo) if cfg.Finfo else 1 << 20,
+            nsymbols=cstln.nsymbols,
+            freq0=cfg.Ftune / cfg.Fs,
+            rrc_coeffs=rrc_coeffs,
+            rrc_steps=rrc_steps,
+        )
+        self.tables = receiver.make_tables(cstln)
+        self.state = receiver.init_state(self.params, 1)
+
+        self.deconv = _DeconvolSync(
+            "4/6" if rate == "2/3" else rate, cfg.fastlock)
+        self.mpeg = MpegSync(fastlock=cfg.fastlock,
+                             on_next_sync=self.deconv.next_sync)
+        self.sample_backlog = np.empty((0, 2), np.float32)
+        self.byte_backlog = np.empty(0, np.uint8)       # deconv -> mpeg_sync
+        self.mpegbyte_backlog = np.empty(0, np.uint8)   # mpeg -> deinterleave
+        self.derand_pos = 0
+        self.first_derand = True
+        # metrics
+        self.vbitcount = 0
+        self.verrcount = 0
+        self.meas = {"freq": [], "ss": [], "mer": [], "vber": []}
+
+    # -- streaming API -----------------------------------------------------
+
+    def process(self, iq: np.ndarray) -> np.ndarray:
+        """Feed [n,2] float32 IQ; returns TS packets [k,188] decoded so far."""
+        iq = np.asarray(iq, dtype=np.float32) * np.float32(self.cfg.float_scale)
+        self.sample_backlog = np.concatenate([self.sample_backlog, iq])
+
+        ra = self.params.readahead
+        navail = len(self.sample_backlog) - ra
+        K = navail // receiver.CHUNK
+        if K <= 0:
+            return np.empty((0, TS_SIZE), np.uint8)
+        n = K * receiver.CHUNK
+        x = self.sample_backlog[: n + ra]
+        self.sample_backlog = self.sample_backlog[n:]
+
+        xd = jnp.asarray(x[None, :, :])                 # [1, n+ra, 2]
+        self.state, out = receiver.run_chunks(self.params, self.tables,
+                                              self.state, xd)
+        valid = np.asarray(out["valid"][0])
+        syms = np.asarray(out["symbol"][0])[valid]
+        self._collect_meas(out)
+
+        bytes_out = self.deconv.process(syms)
+        return self._byte_stages(bytes_out)
+
+    def _byte_stages(self, bytes_out: np.ndarray) -> np.ndarray:
+        if len(bytes_out):
+            self.byte_backlog = np.concatenate([self.byte_backlog, bytes_out])
+        pkts, consumed = self.mpeg.process(self.byte_backlog)
+        self.byte_backlog = self.byte_backlog[consumed:]
+        if len(pkts):
+            self.mpegbyte_backlog = np.concatenate(
+                [self.mpegbyte_backlog, pkts.reshape(-1)])
+        rspkts, self.mpegbyte_backlog = interleave.deinterleave(
+            self.mpegbyte_backlog)
+        if not len(rspkts):
+            return np.empty((0, TS_SIZE), np.uint8)
+
+        msgs, failed, bits = rs.decode(rspkts)
+        self.vbitcount += rspkts.shape[0] * RS_SIZE * 8
+        self.verrcount += int(bits.sum())
+        # Corrupted packets keep flowing with a marked sync byte so the
+        # derandomizer keeps phase (dvb.h:1043-1046).
+        msgs = msgs.copy()
+        msgs[failed, 0] ^= prbs.MPEG_SYNC_CORRUPTED
+
+        out, good, self.derand_pos = self._derandomize(msgs)
+        return out[good]
+
+    def _derandomize(self, packets: np.ndarray):
+        out, good, pos = prbs.derandomize_np(packets, self.derand_pos)
+        return out, good, pos
+
+    def _collect_meas(self, out):
+        nmeas = np.asarray(out["nmeas"][0])
+        for k in np.nonzero(nmeas)[0]:
+            for _ in range(int(nmeas[k])):
+                self.meas["freq"].append(float(out["freq"][0, k]))
+                self.meas["ss"].append(float(out["ss"][0, k]))
+                self.meas["mer"].append(float(out["mer"][0, k]))
+
+    @property
+    def lock(self) -> bool:
+        return self.mpeg.synchronized
+
+    @property
+    def locktime(self) -> int:
+        return self.mpeg.locktime
+
+    @property
+    def vber(self) -> float:
+        return self.verrcount / self.vbitcount if self.vbitcount else 0.0

@@ -1,0 +1,189 @@
+"""MPEG-TS bit alignment, polarity and packet framing.
+
+Mirrors mpeg_sync (reference dvb.h:712-891): searching mode scans
+scan_syncs=8 packets at all 8 bit phases and all 204 byte offsets for
+want_syncs=4 agreeing 0x47/0xB8 start codes, detects polarity and the
+position in the 8-packet sync-inversion cycle; decoding mode re-shifts each
+packet, applies polarity, and unlocks after lock_timeout=4 packets without
+a good sync byte.
+
+The search is expressed as vectorized correlations (shift + compare +
+count over a [8 bitphases, 204 offsets, 8 packets] tensor); the FSM runs at
+packet rate on the host side of the chunk pipeline.
+"""
+
+import numpy as np
+
+RS_SIZE = 204
+MPEG_SYNC = 0x47
+MPEG_SYNC_INV = 0xB8
+
+
+def bitshift_stream(data: np.ndarray, bitphase: int) -> np.ndarray:
+    """out[i] = ((data[i]<<8 | data[i+1]) >> bitphase) & 0xff for i+1 < len.
+
+    Matches the reference's left-to-right shifting (dvb.h:801-807):
+    bitphase 0 returns data[1:], phase 8 would return data[:-1].
+    """
+    w = (data[:-1].astype(np.uint16) << 8) | data[1:]
+    return ((w >> bitphase) & 0xFF).astype(np.uint8)
+
+
+class MpegSync:
+    """Stateful framing FSM over a shifted-byte backlog."""
+
+    def __init__(self, fastlock: bool = False, scan_syncs: int = 8,
+                 want_syncs: int = 4, lock_timeout: int = 4,
+                 resync_period: int = 1, on_next_sync=None):
+        self.scan_syncs = scan_syncs
+        self.want_syncs = want_syncs
+        self.lock_timeout = lock_timeout
+        self.fastlock = fastlock
+        self.resync_period = resync_period
+        self.on_next_sync = on_next_sync   # callback into the deconvolver
+        self.polarity = 0
+        self.bitphase = 0
+        self.synchronized = False
+        self.next_sync_count = 0
+        self.resync_phase = 0
+        self.phase8 = -1
+        self.lock_timeleft = 0
+        self.locktime = 0
+        self.lock_events = []              # (state 0|1) transitions
+        self.locktime_out = []
+
+    # -- searching ---------------------------------------------------------
+
+    def _search_sync(self, data: np.ndarray):
+        """Try to lock within `data` (>= chunk+1 bytes) at self.bitphase.
+
+        Returns byte offset consumed to reach the first start code, or None.
+        Mirrors search_sync (dvb.h:798-840).
+        """
+        chunk = RS_SIZE * self.scan_syncs
+        shifted = bitshift_stream(data[:chunk + 1], self.bitphase)  # [chunk]
+        grid = shifted.reshape(self.scan_syncs, RS_SIZE)            # [8,204]
+        for i in range(RS_SIZE):
+            col = grid[:, i]
+            pos = col == MPEG_SYNC
+            neg = col == MPEG_SYNC_INV
+            nsyncs_p = int(pos.sum())
+            nsyncs_n = int(neg.sum())
+            js_p = np.where(pos)[0]
+            js_n = np.where(neg)[0]
+            phase8_n = int((8 - js_p[-1]) & 7) if len(js_p) else -1
+            phase8_p = int((8 - js_n[-1]) & 7) if len(js_n) else -1
+            if nsyncs_p > nsyncs_n:
+                polarity, nsyncs, phase8 = 0, nsyncs_p, phase8_p
+            else:
+                polarity, nsyncs, phase8 = 0xFF, nsyncs_n, phase8_n
+            if nsyncs >= self.want_syncs and phase8 >= 0:
+                self.polarity = polarity
+                self.phase8 = phase8
+                consumed = i
+                if i == 0:
+                    # Avoid fixpoint detection in the scheduler
+                    # (dvb.h:826-829): skip one packet instead.
+                    consumed = RS_SIZE
+                    self.phase8 = (self.phase8 + 1) & 7
+                self.synchronized = True
+                self.lock_timeleft = self.lock_timeout
+                self.locktime = 0
+                self.lock_events.append(1)
+                return consumed
+        return None
+
+    def _run_searching(self, data: np.ndarray) -> int:
+        """Non-fastlock search (dvb.h:755-779). Returns bytes consumed."""
+        chunk = RS_SIZE * self.scan_syncs
+        consumed = 0
+        next_sync = False
+        while len(data) - consumed >= chunk + 1:
+            r = self._search_sync(data[consumed:])
+            if r is not None:
+                return consumed + r
+            consumed += chunk
+            self.bitphase += 1
+            if self.bitphase == 8:
+                self.bitphase = 0
+                next_sync = True
+        if next_sync:
+            self.next_sync_count += 1
+            if self.next_sync_count >= 3:
+                self.next_sync_count = 0
+                if self.on_next_sync:
+                    self.on_next_sync()
+        return consumed
+
+    def _run_searching_fast(self, data: np.ndarray) -> int:
+        """Fastlock search (dvb.h:782-796). Returns bytes consumed."""
+        chunk = RS_SIZE * self.scan_syncs
+        consumed = 0
+        while len(data) - consumed >= chunk + 1:
+            if self.resync_phase == 0:
+                for bp in range(8):
+                    self.bitphase = bp
+                    r = self._search_sync(data[consumed:])
+                    if r is not None:
+                        return consumed + r
+            consumed += RS_SIZE
+            self.resync_phase += 1
+            if self.resync_phase >= self.resync_period:
+                self.resync_phase = 0
+        return consumed
+
+    # -- decoding ----------------------------------------------------------
+
+    def _run_decoding(self, data: np.ndarray):
+        """Emit aligned packets until data runs out or we unlock
+        (dvb.h:842-874). Returns (packets [n,204], consumed)."""
+        out = []
+        consumed = 0
+        while len(data) - consumed >= RS_SIZE + 1:
+            seg = data[consumed:consumed + RS_SIZE + 1]
+            pkt = bitshift_stream(seg, self.bitphase) ^ self.polarity
+            consumed += RS_SIZE
+            out.append(pkt)
+            self.locktime += 1
+            self.locktime_out.append(self.locktime)
+            expected = MPEG_SYNC if self.phase8 else MPEG_SYNC_INV
+            if pkt[0] == expected:
+                self.lock_timeleft = self.lock_timeout
+            self.phase8 = (self.phase8 + 1) & 7
+            self.lock_timeleft -= 1
+            if not self.lock_timeleft:
+                self.synchronized = False
+                self.next_sync_count = 0
+                self.lock_events.append(0)
+                break
+        pkts = (np.stack(out) if out
+                else np.empty((0, RS_SIZE), np.uint8))
+        return pkts, consumed
+
+    def process(self, data: np.ndarray):
+        """Feed a byte backlog; returns (packets [n,204], consumed bytes).
+
+        The caller keeps unconsumed bytes for the next call.
+        """
+        packets = []
+        consumed = 0
+        while True:
+            avail = data[consumed:]
+            if self.synchronized:
+                pkts, c = self._run_decoding(avail)
+                if len(pkts):
+                    packets.append(pkts)
+                consumed += c
+                if self.synchronized:
+                    break         # ran out of data while locked
+            else:
+                if self.fastlock:
+                    c = self._run_searching_fast(avail)
+                else:
+                    c = self._run_searching(avail)
+                consumed += c
+                if not self.synchronized:
+                    break         # ran out of data while searching
+        if packets:
+            return np.concatenate(packets, axis=0), consumed
+        return np.empty((0, RS_SIZE), np.uint8), consumed

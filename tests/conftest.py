@@ -1,0 +1,61 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Must set the environment before JAX initializes.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import subprocess
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+REF_SRC = Path("/root/reference")
+REF_BUILD = REPO / ".ref_build"
+GOLDEN = REPO / ".golden"
+
+
+def _build_reference() -> Path | None:
+    """Build the reference C++ apps (cached in .ref_build)."""
+    apps = REF_BUILD / "src" / "apps"
+    if (apps / "leandvb").exists():
+        return apps
+    if not REF_SRC.exists():
+        return None
+    REF_BUILD.mkdir(exist_ok=True)
+    subprocess.run(["cp", "-r", str(REF_SRC / "src"), str(REF_BUILD)],
+                   check=True)
+    r = subprocess.run(["make", "VERSION=ref", "leandvb", "leandvbtx",
+                        "leantsgen", "leanchansim"],
+                       cwd=apps, capture_output=True)
+    if r.returncode != 0:
+        return None
+    return apps
+
+
+@pytest.fixture(scope="session")
+def ref_apps():
+    apps = _build_reference()
+    if apps is None:
+        pytest.skip("reference binaries unavailable")
+    return apps
+
+
+@pytest.fixture(scope="session")
+def golden_dir(ref_apps):
+    """Generate golden stimulus/output files once per session."""
+    GOLDEN.mkdir(exist_ok=True)
+    ts = GOLDEN / "ts300.bin"
+    if not ts.exists():
+        with open(ts, "wb") as f:
+            subprocess.run([str(ref_apps / "leantsgen"), "-c", "300"],
+                           stdout=f, check=True)
+    return GOLDEN
