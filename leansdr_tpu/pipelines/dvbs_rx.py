@@ -69,7 +69,18 @@ class _DeconvolSync:
             self.locked = 0
             self.skip = 1
 
+    # Election granularity: the reference's symbol pipebuf holds 4096
+    # symbols (BUF_SYMBOLS, leandvb.cc:190), so fastlock re-elects about
+    # every ~4k symbols; we mirror that cadence per sub-block.
+    BLOCK_SYMBOLS = 4096
+
     def process(self, symbols: np.ndarray) -> np.ndarray:
+        out = [self._process_block(symbols[i:i + self.BLOCK_SYMBOLS])
+               for i in range(0, len(symbols), self.BLOCK_SYMBOLS)]
+        out = [o for o in out if len(o)]
+        return np.concatenate(out) if out else np.empty(0, np.uint8)
+
+    def _process_block(self, symbols: np.ndarray) -> np.ndarray:
         self.backlog = np.concatenate([self.backlog, symbols])
         if self.skip:
             self.backlog = self.backlog[self.skip:]
