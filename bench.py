@@ -1,0 +1,83 @@
+"""Headline benchmark: demodulator throughput per chip.
+
+Measures Msamples/s/chip through the carrier-PLL + M&M-timing + soft
+demapping hot loop (reference sdr.h:697-938) using the Pallas kernel
+(leansdr_tpu/dsp/receiver_pallas.py) with a 1024-channel batch — the
+framework's canonical deployment shape (BASELINE.json north star: 64 x
+2 Msps channels; one chip must also sustain each channel faster than
+real time).
+
+Method: the axon tunnel adds a large fixed dispatch/fetch overhead per
+measured call (~30-60 ms), so throughput is computed from the MARGINAL
+time between 1 and R chained repetitions of the same jitted call.
+
+Baseline: the reference's canonical real-time config is 2.4 Msamples/s on
+one PC core (README.md:40-44); vs_baseline is the ratio of our per-chip
+aggregate sample rate to that.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def _time_reps(fn, state0, reps):
+    import jax
+    best = 1e9
+    for _ in range(3):
+        st = state0
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            st, out = fn(st)
+        jax.block_until_ready(st)
+        float(np.asarray(st).sum())       # force full execution + fetch
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from leansdr_tpu.dsp import receiver, receiver_pallas as rp
+    from leansdr_tpu.dsp.cstln import Predef, make_dvbs2_constellation
+
+    nchan = 1024
+    nsamp = 1024 * receiver.CHUNK      # 131072 samples per call per channel
+
+    cstln = make_dvbs2_constellation(Predef.QPSK, "1/2")
+    params = receiver.ReceiverParams(omega=1.2, sampler="linear",
+                                     nsymbols=4, exact_lut=False)
+    sc = rp.sym_constants(cstln)
+    planes = rp.pack_state(receiver.init_state(params, nchan))
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(
+        scale=75.0, size=(nchan, nsamp + 1, 2)).astype(np.float32))
+
+    def call(st):
+        st, packed = rp.demod_pallas(params, sc, st, x)
+        return st, packed
+
+    # Warmup / compile.
+    st, packed = call(planes)
+    float(np.asarray(st).sum())
+
+    t1 = _time_reps(call, planes, 1)
+    t4 = _time_reps(call, planes, 4)
+    marginal = max((t4 - t1) / 3, 1e-9)
+
+    msps = nchan * nsamp / marginal / 1e6
+    baseline_msps = 2.4
+    print(json.dumps({
+        "metric": "demod_chain_throughput_per_chip",
+        "value": round(msps, 1),
+        "unit": "Msamples/s/chip",
+        "vs_baseline": round(msps / baseline_msps, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -43,6 +43,14 @@ class ReceiverParams:
     # RRC sampler (fir_sampler, sdr.h:635-689):
     rrc_coeffs: tuple = ()       # float taps
     rrc_steps: int = 1           # subsampling
+    # exact_lut=True gathers the reference's precomputed 256x256 decision
+    # grid + trig16 table (bit-exact against the C++ trajectories).
+    # exact_lut=False computes the same quantities on the VPU with no
+    # gathers: integer symbol distances over the s8-quantized grid give
+    # bit-identical decisions and costs; trig/atan2 agree to ~1 ulp.
+    # On TPU the gather-free path is the fast one (gathers on tiny
+    # per-step operands dominate the scan otherwise).
+    exact_lut: bool = True
 
     @property
     def readahead(self) -> int:
@@ -99,8 +107,48 @@ def _expi(trig, a):
     return e[..., 0], e[..., 1]
 
 
-@partial(jax.jit, static_argnames=("params",))
-def run_chunks(params: ReceiverParams, tables, state, x):
+def _expi_computed(a):
+    """Gather-free expi: same u16 angle quantization, cos/sin on the VPU."""
+    idx = (jnp.trunc(a).astype(jnp.int32) & 0xFFFF).astype(jnp.float32)
+    ang = idx * jnp.float32(2 * np.pi / 65536)
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def _lookup_computed(tables, I, Q):
+    """Gather-free constellation decision over the s8-quantized grid.
+
+    Reproduces the LUT contents (sdr.h:529-559) by direct computation:
+    integer squared distances to each constellation point -> nearest
+    (first-wins ties like the reference's strict '<' scan) and
+    second-nearest; cost = clamp(d1)-clamp(d2); phase error =
+    atan2(Q,I) - atan2(sym) scaled to the s16 angle convention.
+    """
+    sym_re, sym_im = tables["sym_re"], tables["sym_im"]      # [nsym] f32
+    sym_phase = tables["sym_phase"]                          # [nsym] f32
+    for _ in range(12):
+        over = (I < -128) | (I > 127) | (Q < -128) | (Q > 127)
+        I = jnp.where(over, I * 0.5, I)
+        Q = jnp.where(over, Q * 0.5, Q)
+    i8 = jnp.trunc(I)
+    q8 = jnp.trunc(Q)
+    d = ((i8[:, None] - sym_re) ** 2 + (q8[:, None] - sym_im) ** 2)
+    near = jnp.argmin(d, axis=1)
+    onehot = jax.nn.one_hot(near, d.shape[1], dtype=jnp.float32)
+    d1 = jnp.min(d, axis=1)
+    d2 = jnp.min(jnp.where(onehot > 0, jnp.inf, d), axis=1)
+    cost = (jnp.minimum(d1, 32767.0) - jnp.minimum(d2, 32767.0)
+            ).astype(jnp.int16)
+    ph_sym = jnp.sum(onehot * sym_phase, axis=1)
+    ph_err = jnp.arctan2(q8, i8) - ph_sym
+    pe = jnp.trunc(ph_err * jnp.float32(65536) / jnp.float32(2 * np.pi)
+                   ).astype(jnp.int32)
+    pe16 = (((pe & 0xFFFF) ^ 0x8000) - 0x8000).astype(jnp.int16)
+    cpt_re = jnp.sum(onehot * sym_re, axis=1)
+    cpt_im = jnp.sum(onehot * sym_im, axis=1)
+    return cost, near.astype(jnp.uint8), pe16, cpt_re, cpt_im
+
+
+def run_chunks_impl(params: ReceiverParams, tables, state, x):
     """Demodulate [C, n] complex samples (as [C, n, 2] float32 planes).
 
     n must be a multiple of CHUNK, plus `params.readahead` extra samples of
@@ -142,18 +190,21 @@ def run_chunks(params: ReceiverParams, tables, state, x):
         mu, phase, freqw = st["mu"], st["phase"], st["freqw"]
         emit = mu < 1.0
 
+        expi = (lambda a: _expi(trig, a)) if params.exact_lut \
+            else _expi_computed
+
         # --- sampler->interp (linear_sampler, sdr.h:617-623) ---
         if params.sampler == "linear":
-            c0, s0 = _expi(trig, -phase)
+            c0, s0 = expi(-phase)
             sg0_re = pin0[:, 0] * c0 - pin0[:, 1] * s0
             sg0_im = pin0[:, 0] * s0 + pin0[:, 1] * c0
-            c1, s1 = _expi(trig, -(phase + chunk_freqw))
+            c1, s1 = expi(-(phase + chunk_freqw))
             sg1_re = pin1[:, 0] * c1 - pin1[:, 1] * s1
             sg1_im = pin1[:, 0] * s1 + pin1[:, 1] * c1
             sg_re = sg0_re * (1 - mu) + sg1_re * mu
             sg_im = sg0_im * (1 - mu) + sg1_im * mu
         elif params.sampler == "nearest":
-            c0, s0 = _expi(trig, -phase)
+            c0, s0 = expi(-phase)
             sg_re = pin0[:, 0] * c0 - pin0[:, 1] * s0
             sg_im = pin0[:, 0] * s0 + pin0[:, 1] * c0
         else:
@@ -162,7 +213,13 @@ def run_chunks(params: ReceiverParams, tables, state, x):
         s_re = sg_re * st["agc_gain"]
         s_im = sg_im * st["agc_gain"]
 
-        cost, sym, perr = _lookup(tabs, s_re, s_im)
+        if params.exact_lut:
+            cost, sym, perr = _lookup(tabs, s_re, s_im)
+            cpt = cstln_pts[sym]
+            cpt_re, cpt_im = cpt[:, 0], cpt[:, 1]
+        else:
+            cost, sym, perr, cpt_re, cpt_im = _lookup_computed(
+                tables, s_re, s_im)
         perr_f = perr.astype(jnp.float32)
 
         # --- PLL (sdr.h:813-815) ---
@@ -170,10 +227,9 @@ def run_chunks(params: ReceiverParams, tables, state, x):
         freqw_u = freqw + perr_f * freq_beta
 
         # --- modified Mueller & Muller (sdr.h:817-840) ---
-        cpt = cstln_pts[sym]                               # [C,2]
         hp, hc = st["hist_p"], st["hist_c"]
         h0p = jnp.stack([s_re, s_im], axis=-1)
-        h0c = cpt
+        h0c = jnp.stack([cpt_re, cpt_im], axis=-1)
         # hist[0]=new, hist[1]=hp[:,0] (previous), hist[2]=hp[:,1]:
         # muerr = dot(p[k]-p[k-2], c[k-1]) - dot(c[k]-c[k-2], p[k-1])
         muerr = ((h0p[:, 0] - hp[:, 1, 0]) * hc[:, 0, 0] +
@@ -224,7 +280,7 @@ def run_chunks(params: ReceiverParams, tables, state, x):
         }
         (state, _, last), (cost, sym, valid) = jax.lax.scan(
             sample_step, (state, chunk_freqw, last0),
-            (xc[:, :, 0], xc[:, :, 1]))
+            (xc[:, :, 0], xc[:, :, 1]), unroll=8)
 
         # ---- end of chunk (sdr.h:852-913) ----
         phase = jnp.fmod(state["phase"], 65536.0)
@@ -294,12 +350,21 @@ def run_chunks(params: ReceiverParams, tables, state, x):
     return state, outputs
 
 
+run_chunks = partial(jax.jit, static_argnames=("params",))(run_chunks_impl)
+
+
 def make_tables(cstln: Cstln):
     """Device-resident tables for run_chunks."""
+    sym = cstln.symbols.astype(np.float32)
     return {
         "trig": jnp.asarray(trig16_table()),
         "lut_cost": jnp.asarray(cstln.lut_cost),
         "lut_symbol": jnp.asarray(cstln.lut_symbol),
         "lut_phase": jnp.asarray(cstln.lut_phase),
-        "symbols": jnp.asarray(cstln.symbols.astype(np.float32)),
+        "symbols": jnp.asarray(sym),
+        # For the gather-free computed path:
+        "sym_re": jnp.asarray(sym[:, 0]),
+        "sym_im": jnp.asarray(sym[:, 1]),
+        "sym_phase": jnp.asarray(
+            np.arctan2(sym[:, 1], sym[:, 0]).astype(np.float32)),
     }

@@ -43,6 +43,7 @@ class RxConfig:
     rrc_rej: float = 30.0
     rrc_steps: int = 0
     rolloff: float = 0.35
+    exact_lut: bool = True
 
 
 class _DeconvolSync:
@@ -152,14 +153,23 @@ class DvbsReceiver:
             freq0=cfg.Ftune / cfg.Fs,
             rrc_coeffs=rrc_coeffs,
             rrc_steps=rrc_steps,
+            exact_lut=cfg.exact_lut or cfg.hard_metric,
         )
         self.tables = receiver.make_tables(cstln)
         self.state = receiver.init_state(self.params, 1)
 
-        self.deconv = _DeconvolSync(
-            "4/6" if rate == "2/3" else rate, cfg.fastlock)
-        self.mpeg = MpegSync(fastlock=cfg.fastlock,
-                             on_next_sync=self.deconv.next_sync)
+        if cfg.viterbi:
+            from ..fec.viterbi import ViterbiSync
+            # FEC23 -> FEC46 for QPSK/64APSKe (leandvb.cc:533-537)
+            vrate = ("4/6" if (rate == "2/3" and cstln.nsymbols in (4, 64))
+                     else rate)
+            self.deconv = ViterbiSync(cstln, vrate, fastlock=cfg.fastlock)
+            on_next = None
+        else:
+            self.deconv = _DeconvolSync(
+                "4/6" if rate == "2/3" else rate, cfg.fastlock)
+            on_next = self.deconv.next_sync
+        self.mpeg = MpegSync(fastlock=cfg.fastlock, on_next_sync=on_next)
         self.sample_backlog = np.empty((0, 2), np.float32)
         self.byte_backlog = np.empty(0, np.uint8)       # deconv -> mpeg_sync
         self.mpegbyte_backlog = np.empty(0, np.uint8)   # mpeg -> deinterleave
@@ -193,7 +203,11 @@ class DvbsReceiver:
         syms = np.asarray(out["symbol"][0])[valid]
         self._collect_meas(out)
 
-        bytes_out = self.deconv.process(syms)
+        if self.cfg.viterbi:
+            costs = np.asarray(out["cost"][0])[valid]
+            bytes_out = self.deconv.process(syms, costs)
+        else:
+            bytes_out = self.deconv.process(syms)
         return self._byte_stages(bytes_out)
 
     def _byte_stages(self, bytes_out: np.ndarray) -> np.ndarray:

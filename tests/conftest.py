@@ -5,15 +5,17 @@ Must set the environment before JAX initializes.
 
 import os
 
+# The container's sitecustomize registers the experimental 'axon' TPU
+# plugin (tunnelled, single real chip) whenever PALLAS_AXON_POOL_IPS is
+# set, and concurrent registrations contend on the tunnel. Tests run on a
+# virtual 8-device CPU mesh: drop the trigger before jax ever loads.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
-# The container's sitecustomize registers the experimental 'axon' TPU
-# plugin and overrides jax_platforms; tests must run on the virtual CPU
-# mesh regardless (multi-chip shardings are validated on 8 CPU devices).
 import jax
 
 jax.config.update("jax_platforms", "cpu")
