@@ -92,3 +92,36 @@ def log2i(x: int) -> int:
         n += 1
         x >>= 1
     return n
+
+
+# Polynomial atan/atan2 shared by the XLA computed path and the Pallas
+# kernel (Mosaic has no atan primitive; both paths use the same formula so
+# their trajectories agree). Max error < 3e-7 rad, well under the s16
+# angle quantum 2*pi/65536 ~ 9.6e-5.
+def _fit_atan_coeffs(order=7):
+    import numpy as _np
+    r = _np.linspace(0, 1, 4001)[1:]
+    u = r * r
+    A = _np.stack([u ** k for k in range(order)], axis=1) * r[:, None]
+    c, *_ = _np.linalg.lstsq(A, _np.arctan(r), rcond=None)
+    return tuple(float(v) for v in c)
+
+
+ATAN_COEFFS = _fit_atan_coeffs()
+
+
+def atan2_poly(q, i):
+    """Vectorized atan2 with C sign conventions, polynomial core."""
+    ax = jnp.abs(i)
+    ay = jnp.abs(q)
+    mx = jnp.maximum(ax, ay)
+    mn = jnp.minimum(ax, ay)
+    r = jnp.where(mx > 0, mn / jnp.where(mx > 0, mx, 1.0), 0.0)
+    u = r * r
+    p = jnp.float32(ATAN_COEFFS[-1])
+    for c in ATAN_COEFFS[-2::-1]:
+        p = p * u + jnp.float32(c)
+    t = r * p
+    t = jnp.where(ay > ax, jnp.float32(np.pi / 2) - t, t)
+    t = jnp.where(i < 0, jnp.float32(np.pi) - t, t)
+    return jnp.where(q < 0, -t, t)

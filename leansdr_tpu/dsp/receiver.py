@@ -23,7 +23,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .math_utils import trig16_table
+from .math_utils import trig16_table, atan2_poly
 from .cstln import CSTLN_AMP, Cstln
 
 CHUNK = 128
@@ -139,7 +139,7 @@ def _lookup_computed(tables, I, Q):
     cost = (jnp.minimum(d1, 32767.0) - jnp.minimum(d2, 32767.0)
             ).astype(jnp.int16)
     ph_sym = jnp.sum(onehot * sym_phase, axis=1)
-    ph_err = jnp.arctan2(q8, i8) - ph_sym
+    ph_err = atan2_poly(q8, i8) - ph_sym
     pe = jnp.trunc(ph_err * jnp.float32(65536) / jnp.float32(2 * np.pi)
                    ).astype(jnp.int32)
     pe16 = (((pe & 0xFFFF) ^ 0x8000) - 0x8000).astype(jnp.int16)

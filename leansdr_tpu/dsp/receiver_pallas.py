@@ -42,34 +42,7 @@ def sym_constants(cstln: Cstln):
 SUB, LANE = 8, 128
 CMAX = SUB * LANE
 
-# Minimax-ish odd polynomial for atan on [0,1] (Mosaic has no atan/atan2).
-# atan(r) ~ r * P(r^2); fitted at import, max error < 3e-7 rad — well under
-# the s16 phase quantum (2*pi/65536 ~ 9.6e-5).
-def _fit_atan_coeffs(order=7):
-    r = np.linspace(0, 1, 4001)[1:]
-    u = r * r
-    A = np.stack([u ** k for k in range(order)], axis=1) * r[:, None]
-    c, *_ = np.linalg.lstsq(A, np.arctan(r), rcond=None)
-    return tuple(float(v) for v in c)
-
-_ATAN_C = _fit_atan_coeffs()
-
-
-def _atan2(q, i):
-    """Vector atan2 with C sign conventions (atan2f), VPU-only ops."""
-    ax = jnp.abs(i)
-    ay = jnp.abs(q)
-    mx = jnp.maximum(ax, ay)
-    mn = jnp.minimum(ax, ay)
-    r = jnp.where(mx > 0, mn / jnp.where(mx > 0, mx, 1.0), 0.0)
-    u = r * r
-    p = jnp.float32(_ATAN_C[-1])
-    for c in _ATAN_C[-2::-1]:
-        p = p * u + jnp.float32(c)
-    t = r * p
-    t = jnp.where(ay > ax, jnp.float32(np.pi / 2) - t, t)
-    t = jnp.where(i < 0, jnp.float32(np.pi) - t, t)
-    return jnp.where(q < 0, -t, t)
+from .math_utils import atan2_poly as _atan2
 
 
 def _mkparams(params: ReceiverParams):
