@@ -1,0 +1,250 @@
+"""leandvb-compatible DVB-S receiver CLI (reference leandvb.cc:974-1221).
+
+Usage: python -m leansdr_tpu.apps.leandvb [options] < IQ > TS
+Flags mirror the reference 1:1 (the bench scripts depend on them).
+"""
+
+import os
+import sys
+
+import numpy as np
+
+
+def usage(code=0, f=sys.stderr):
+    f.write(
+        "Usage: leandvb [options]  < IQ  > TS\n"
+        "Demodulate DVB-S I/Q on stdin, output MPEG packets on stdout\n"
+        "\nInput options:\n"
+        "  --u8, --s8, --u16, --s16, --f32   Input format (default u8)\n"
+        "  --float-scale FLOAT     Scaling factor for float data\n"
+        "  -f FREQ                 Sampling rate (Hz)\n"
+        "  --loop                  Repeat input file forever\n"
+        "\nPreprocessing options:\n"
+        "  --awgn STDDEV           Add white gaussian noise\n"
+        "  --anf INT               Number of birdies to remove (default 0)\n"
+        "  --derotate FREQ         Shift frequency (Hz)\n"
+        "  --resample              Lowpass and decimate to ~4 sps\n"
+        "  --resample-rej FLOAT    Lowpass rejection (default 10)\n"
+        "  --decim INT             Decimate by INT\n"
+        "  --cnr                   Measure CNR\n"
+        "\nDVB-S options:\n"
+        "  --sr SYMBOLRATE         Symbol rate (Hz, default 2e6)\n"
+        "  --tune FREQ             Bias frequency for acquisition (Hz)\n"
+        "  --drift                 Follow carrier beyond safe limits\n"
+        "  --standard S            DVB-S (default) or DVB-S2\n"
+        "  --const C               Constellation (QPSK, BPSK, ... )\n"
+        "  --cr N/D                Code rate (default 1/2)\n"
+        "  --sampler S             nearest, linear (default), rrc\n"
+        "  --rrc-steps INT         RRC oversampling\n"
+        "  --rrc-rej FLOAT         RRC filter rejection (default 30)\n"
+        "  --roll-off FLOAT        RRC roll-off (default 0.35)\n"
+        "  --hard-metric           Use Hamming metric\n"
+        "  --fastlock              Synchronize more aggressively\n"
+        "  --viterbi               Use Viterbi decoding\n"
+        "  --hq                    --fastlock --viterbi --sampler rrc\n"
+        "\nUI options:\n"
+        "  --fd-info FDNUM         Info messages to file descriptor\n"
+        "  --fd-const FDNUM        Constellation to file descriptor\n"
+        "  --fd-spectrum FDNUM     Spectrum to file descriptor\n"
+        "  --json                  JSON format for aux outputs\n"
+        "  -v, -d                  Verbose / debug\n")
+    sys.exit(code)
+
+
+def parse_args(argv):
+    from ..pipelines.dvbs_rx import RxConfig
+    from ..dsp.cstln import Predef
+
+    cfg = RxConfig(anf=1)     # leandvb default anf=1 (leandvb.cc:103)
+    opts = {
+        "input": "u8", "loop": False, "fd_info": -1, "fd_const": -1,
+        "fd_spectrum": -1, "json": False, "verbose": False, "debug": False,
+        "hs": False, "hdlc": False, "packetized": False, "buf_factor": 4,
+        "Finfo": 5.0, "standard": "DVB-S",
+    }
+    consts = {"BPSK": Predef.BPSK, "QPSK": Predef.QPSK, "8PSK": Predef.PSK8,
+              "16APSK": Predef.APSK16, "32APSK": Predef.APSK32,
+              "64APSKe": Predef.APSK64E, "16QAM": Predef.QAM16,
+              "64QAM": Predef.QAM64, "256QAM": Predef.QAM256}
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+
+        def val():
+            nonlocal i
+            i += 1
+            return argv[i]
+
+        if a == "-h":
+            usage(0, sys.stdout)
+        elif a == "-v":
+            opts["verbose"] = True
+        elif a == "-d":
+            opts["debug"] = True
+        elif a == "--u8":
+            opts["input"] = "u8"
+        elif a in ("--s8", "--char"):
+            opts["input"] = "s8"
+        elif a == "--u16":
+            opts["input"] = "u16"
+        elif a == "--s16":
+            opts["input"] = "s16"
+        elif a == "--f32":
+            opts["input"] = "f32"
+        elif a == "--float-scale":
+            cfg.float_scale = float(val())
+        elif a == "-f":
+            cfg.Fs = float(val())
+        elif a == "--sr":
+            cfg.Fm = float(val())
+        elif a == "--tune":
+            cfg.Ftune = float(val())
+        elif a == "--derotate":
+            cfg.Fderot = float(val())
+        elif a == "--drift":
+            cfg.allow_drift = True
+        elif a == "--loop":
+            opts["loop"] = True
+        elif a == "--awgn":
+            cfg.awgn = float(val())
+        elif a == "--anf":
+            cfg.anf = int(val())
+        elif a == "--cnr":
+            cfg.cnr = True
+        elif a == "--resample":
+            cfg.resample = True
+        elif a == "--resample-rej":
+            cfg.resample_rej = float(val())
+        elif a == "--decim":
+            cfg.decim = int(val())
+        elif a == "--standard":
+            opts["standard"] = val()
+        elif a == "--const":
+            cfg.constellation = consts[val()]
+        elif a == "--cr":
+            cfg.rate = val()
+        elif a == "--sampler":
+            cfg.sampler = val()
+        elif a == "--rrc-steps":
+            cfg.rrc_steps = int(val())
+        elif a == "--rrc-rej":
+            cfg.rrc_rej = float(val())
+        elif a == "--roll-off":
+            cfg.rolloff = float(val())
+        elif a == "--hard-metric":
+            cfg.hard_metric = True
+        elif a == "--fastlock":
+            cfg.fastlock = True
+        elif a == "--viterbi":
+            cfg.viterbi = True
+        elif a == "--hq":
+            cfg.fastlock = True
+            cfg.viterbi = True
+            cfg.sampler = "rrc"
+        elif a == "--hs":
+            opts["hs"] = True
+        elif a == "--hdlc":
+            opts["hdlc"] = True
+        elif a == "--packetized":
+            opts["packetized"] = True
+        elif a == "--fd-info":
+            opts["fd_info"] = int(val())
+        elif a == "--fd-const":
+            opts["fd_const"] = int(val())
+        elif a == "--fd-spectrum":
+            opts["fd_spectrum"] = int(val())
+        elif a == "--json":
+            opts["json"] = True
+        elif a == "--buf-factor":
+            opts["buf_factor"] = int(val())
+        elif a == "--inpipe" or a == "--inbuf":
+            val()   # accepted, no-op (host buffering is adaptive)
+        elif a == "--gui" or a == "--linger" or a == "--filler":
+            pass    # GUI replaced by the fd-info/const/spectrum streams
+        elif a == "--nhelpers":
+            val()
+        else:
+            usage(1)
+        i += 1
+    if opts["fd_spectrum"] >= 0:
+        cfg.want_spectrum = True
+    return cfg, opts
+
+
+def main(argv=None):
+    from ..pipelines.dvbs_rx import DvbsReceiver
+    from ..util.iofmt import read_iq
+    from ..util import info as info_mod
+
+    cfg, opts = parse_args(sys.argv[1:] if argv is None else argv)
+    rx = DvbsReceiver(cfg)
+
+    info = None
+    if opts["fd_info"] >= 0:
+        info = info_mod.InfoWriter(opts["fd_info"], opts["json"])
+        bits_in, bits_out = __import__(
+            "leansdr_tpu.fec.convenc", fromlist=["FEC_SPECS"]
+        ).FEC_SPECS[cfg.rate]
+        info.initial(opts["standard"], rx.cstln.name,
+                     f"{bits_in}/{bits_out}", cfg.Fm)
+    constw = None
+    if opts["fd_const"] >= 0:
+        constw = info_mod.ConstWriter(opts["fd_const"], opts["json"])
+        constw.const(rx.cstln.symbols)
+    specw = None
+    if opts["fd_spectrum"] >= 0:
+        specw = info_mod.SpectrumWriter(opts["fd_spectrum"], opts["json"])
+
+    itemsize = {"u8": 2, "s8": 2, "u16": 4, "s16": 4, "f32": 8}[opts["input"]]
+    stdin = sys.stdin.buffer
+    out = sys.stdout.buffer
+    CHUNK_BYTES = (1 << 17) * itemsize
+
+    meas_sent = {"freq": 0, "ss": 0, "mer": 0, "cnr": 0}
+    locktime_sent = 0
+    spectrum_sent = 0
+
+    def flush_info():
+        nonlocal locktime_sent, spectrum_sent
+        if info:
+            n = len(rx.meas["freq"])
+            for k in range(meas_sent["freq"], n):
+                info.freq(rx.meas["freq"][k], scale=cfg.Fs)
+                info.ss(rx.meas["ss"][k])
+                info.mer(rx.meas["mer"][k])
+            meas_sent["freq"] = n
+            for k in range(meas_sent["cnr"], len(rx.meas["cnr"])):
+                info.cnr(rx.meas["cnr"][k])
+            meas_sent["cnr"] = len(rx.meas["cnr"])
+            for st in rx.mpeg.lock_events:
+                info.lock(st)
+            rx.mpeg.lock_events.clear()
+            lt = rx.mpeg.locktime_out
+            if len(lt) > locktime_sent:
+                info.locktime(lt[-1])
+                locktime_sent = len(lt)
+            if rx.vbitcount:
+                info.vber(rx.vber)
+            info.flush()
+        if specw:
+            for line in rx.spectrum_lines[spectrum_sent:]:
+                specw.spectrum(line)
+            spectrum_sent = len(rx.spectrum_lines)
+
+    while True:
+        raw = stdin.read(CHUNK_BYTES)
+        if not raw:
+            break
+        nitems = len(raw) // itemsize * itemsize
+        iq = read_iq(raw[:nitems], opts["input"])
+        ts = rx.process(iq)
+        if len(ts):
+            out.write(ts.tobytes())
+            out.flush()
+        flush_info()
+    flush_info()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -72,7 +72,16 @@ class ReceiverParams:
 def init_state(params: ReceiverParams, nchan: int):
     """Initial per-channel loop state (mirrors sdr.h:724-736)."""
     C = nchan
-    return {
+    extra = {}
+    if params.sampler == "rrc":
+        nc = len(params.rrc_coeffs)
+        extra = {
+            # update_freq_phase starts 0 -> first chunk shifts the coeffs
+            # (fir_sampler, sdr.h:640, 667-675).
+            "rrc_phase": jnp.zeros(C, jnp.int32),
+            "rrc_shifted": jnp.zeros((C, nc, 2), jnp.float32),
+        }
+    return extra | {
         "mu": jnp.zeros(C, jnp.float32),
         "phase": jnp.zeros(C, jnp.float32),
         "freqw": jnp.full(C, params.freq0 * 65536, jnp.float32),
@@ -207,6 +216,28 @@ def run_chunks_impl(params: ReceiverParams, tables, state, x):
             c0, s0 = expi(-phase)
             sg_re = pin0[:, 0] * c0 - pin0[:, 1] * s0
             sg_im = pin0[:, 0] * s0 + pin0[:, 1] * c0
+        elif params.sampler == "rrc":
+            # fir_sampler.interp (sdr.h:646-665): polyphase matched filter
+            # at phase index (1-mu)*subsampling, stride subsampling, then
+            # ONE derotation of the accumulated sum.
+            win = pin1                       # [C, ntaps, 2] window view
+            sub = params.rrc_steps
+            nc = len(params.rrc_coeffs)
+            ntaps = win.shape[1]
+            idx0 = jnp.trunc((1 - mu) * sub).astype(jnp.int32)   # [C]
+            pc = idx0[:, None] + jnp.arange(ntaps)[None, :] * sub
+            ok = pc < nc
+            pcc = jnp.minimum(pc, nc - 1)
+            co = jnp.take_along_axis(
+                st["rrc_shifted"], pcc[:, :, None], axis=1)      # [C,ntaps,2]
+            okf = ok.astype(jnp.float32)
+            acc_re = jnp.sum(okf * (co[:, :, 0] * win[:, :, 0]
+                                    - co[:, :, 1] * win[:, :, 1]), axis=1)
+            acc_im = jnp.sum(okf * (co[:, :, 0] * win[:, :, 1]
+                                    + co[:, :, 1] * win[:, :, 0]), axis=1)
+            c0, s0 = expi(-phase)
+            sg_re = c0 * acc_re - s0 * acc_im
+            sg_im = c0 * acc_im + s0 * acc_re
         else:
             raise NotImplementedError(params.sampler)
 
@@ -270,17 +301,35 @@ def run_chunks_impl(params: ReceiverParams, tables, state, x):
         return (st, chunk_freqw, last), out
 
     def chunk_step(state, xc):
-        # xc: [CHUNK, C, 2, 2] -> (pin0, pin1) pairs per sample
+        # xc: [CHUNK, C, 2, 2] (pin0, pin1) pairs, or [CHUNK, C, ntaps, 2]
+        # windows for the rrc sampler.
         chunk_freqw = state["freqw"]       # sampler->update_freq (sdr.h:790)
+        if use_rrc:
+            # Throttled coefficient re-shift (sdr.h:667-682): one update
+            # per ncoeffs*16 processed samples.
+            ph = state["rrc_phase"] - CHUNK
+            do_upd = ph <= 0
+            ph = jnp.where(do_upd, ncoeffs * 16, ph)
+            f = state["freqw"] / sub                              # [C]
+            i_c = jnp.arange(ncoeffs, dtype=jnp.float32) - ncoeffs // 2
+            if params.exact_lut:
+                ec, es = _expi(trig, -f[:, None] * i_c[None, :])
+            else:
+                ec, es = _expi_computed(-f[:, None] * i_c[None, :])
+            shifted = jnp.stack([ec * rrc_c[None, :],
+                                 es * rrc_c[None, :]], axis=-1)
+            rrc_shifted = jnp.where(do_upd[:, None, None], shifted,
+                                    state["rrc_shifted"])
+            state = dict(state, rrc_phase=ph, rrc_shifted=rrc_shifted)
         last0 = {
             "sg": jnp.zeros((C, 2), jnp.float32),
             "s": jnp.zeros((C, 2), jnp.float32),
             "sym": jnp.zeros(C, jnp.uint8),
             "any": jnp.zeros(C, bool),
         }
+        xs_pair = (xc, xc) if use_rrc else (xc[:, :, 0], xc[:, :, 1])
         (state, _, last), (cost, sym, valid) = jax.lax.scan(
-            sample_step, (state, chunk_freqw, last0),
-            (xc[:, :, 0], xc[:, :, 1]), unroll=8)
+            sample_step, (state, chunk_freqw, last0), xs_pair, unroll=8)
 
         # ---- end of chunk (sdr.h:852-913) ----
         phase = jnp.fmod(state["phase"], 65536.0)
@@ -332,11 +381,17 @@ def run_chunks_impl(params: ReceiverParams, tables, state, x):
         meta = (s, freq_tap, ss, mer, nmeas)
         return state, ((cost, sym, valid), meta)
 
-    # Build per-sample (pin0, pin1) views: [K, CHUNK, C, 2, 2]
-    pin0 = x[:, :nsamp]
-    pin1 = x[:, 1:nsamp + 1] if ra >= 1 else x[:, :nsamp]
-    pairs = jnp.stack([pin0, pin1], axis=2)     # [C, nsamp, 2, 2]
-    xs = pairs.transpose(1, 0, 2, 3).reshape(K, CHUNK, C, 2, 2)
+    if use_rrc:
+        # Window views for the polyphase sampler: win[t] = x[:, t:t+ntaps].
+        ntaps = (ncoeffs + sub - 1) // sub
+        win = jnp.stack([x[:, j:j + nsamp] for j in range(ntaps)], axis=2)
+        xs = win.transpose(1, 0, 2, 3).reshape(K, CHUNK, C, ntaps, 2)
+    else:
+        # Per-sample (pin0, pin1) views: [K, CHUNK, C, 2, 2]
+        pin0 = x[:, :nsamp]
+        pin1 = x[:, 1:nsamp + 1] if ra >= 1 else x[:, :nsamp]
+        pairs = jnp.stack([pin0, pin1], axis=2)     # [C, nsamp, 2, 2]
+        xs = pairs.transpose(1, 0, 2, 3).reshape(K, CHUNK, C, 2, 2)
 
     state, ((cost, sym, valid), meta) = jax.lax.scan(chunk_step, state, xs)
     # cost/sym/valid: [K, CHUNK, C] -> [C, K*CHUNK]

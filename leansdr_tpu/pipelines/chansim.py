@@ -16,7 +16,10 @@ import numpy as np
 _A = 0x5DEECE66D
 _C = 0xB
 _M48 = (1 << 48) - 1
-DRAND48_DEFAULT_SEED = 0x1234ABCD330E
+# glibc initializes the drand48 state to zero when srand48 was never
+# called (the documented 0x1234ABCD330E applies to seed48/lcong48);
+# the first drand48() value is therefore c/2^48.
+DRAND48_DEFAULT_SEED = 0
 
 
 def _lcg_mul48(a: int, x: np.ndarray) -> np.ndarray:
@@ -64,8 +67,10 @@ def wgn_c(nsamples: int, stddev: float, seed: int = DRAND48_DEFAULT_SEED):
         y = (2 * d[1::2] - 1).astype(np.float32)
         r2 = x * x + y * y
         ok = (r2 != 0) & (r2 < 1)
-        k = np.sqrt(-np.log(r2, where=ok, out=np.ones_like(r2))
-                    / np.where(ok, r2, 1)).astype(np.float32) * np.float32(stddev)
+        with np.errstate(invalid="ignore"):
+            k = np.sqrt(-np.log(r2, where=ok, out=np.ones_like(r2))
+                        / np.where(ok, r2, 1)
+                        ).astype(np.float32) * np.float32(stddev)
         acc = np.stack([k * x, k * y], axis=-1)[ok]
         if len(acc) >= need:
             # Find how many pairs were consumed to produce `need` samples.
@@ -92,6 +97,7 @@ class ChansimConfig:
     scale: float = 1.0
     awgn: float = 0.0
     deterministic: bool = True
+    seed: int | None = None      # non-deterministic runs pick a seed
     drifts: tuple = (DriftComponent(), DriftComponent(), DriftComponent())
 
 
@@ -127,7 +133,9 @@ def simulate(iq: np.ndarray, cfg: ChansimConfig) -> np.ndarray:
     """Apply the channel to [n,2] float32 IQ."""
     x = np.asarray(iq, dtype=np.float32) * np.float32(cfg.scale)
     if cfg.awgn:
-        noise, _ = wgn_c(len(x), cfg.awgn)
+        seed = (DRAND48_DEFAULT_SEED if cfg.deterministic or cfg.seed is None
+                else ((cfg.seed << 16) | 0x330E) & _M48)
+        noise, _ = wgn_c(len(x), cfg.awgn, seed)
         x = x + noise
     x = drifter(x, cfg.drifts)
     return x.astype(np.float32)

@@ -44,6 +44,15 @@ class RxConfig:
     rrc_steps: int = 0
     rolloff: float = 0.35
     exact_lut: bool = True
+    # Preprocessing chain (leandvb.cc:277-399):
+    awgn: float = 0.0            # in-graph noise stddev (--awgn)
+    anf: int = 0                 # number of auto-notch slots (--anf)
+    Fderot: float = 0.0          # fixed derotation in Hz (--derotate)
+    cnr: bool = False            # CNR estimation (--cnr)
+    want_spectrum: bool = False  # --fd-spectrum
+    resample: bool = False       # lowpass + decimate to ~4 sps (--resample)
+    resample_rej: float = 10.0
+    decim: int = 0               # explicit decimation (--decim)
 
 
 class _DeconvolSync:
@@ -130,14 +139,49 @@ class DvbsReceiver:
             cstln.harden()
         self.cstln = cstln
 
-        omega = cfg.Fs / cfg.Fm
+        # ---- preprocessing chain (leandvb.cc:277-399) ----
+        from ..dsp import blocks, filtergen
+        self.noise_draws = 0
+        self.notch = (blocks.AutoNotch(cfg.anf, 0.0) if cfg.anf else None)
+        self.derot = (blocks.Rotator(-cfg.Fderot / cfg.Fs)
+                      if cfg.Fderot else None)
+        self.cnr_est = (blocks.CnrFft(cfg.Fm / cfg.Fs) if cfg.cnr else None)
+        if self.cnr_est:
+            self.cnr_est.decimation = max(int(cfg.Fs), 1)   # ~1 Hz
+        self.spectrum = (blocks.Spectrum() if cfg.want_spectrum else None)
+        if self.spectrum:
+            self.spectrum.decimation = max(int(cfg.Fs), 1)
+
+        decim = 1
+        self.resampler = None
+        Fs_eff = cfg.Fs
+        if cfg.resample:
+            # Lowpass + decimate to just above 4 samples/symbol
+            # (leandvb.cc:353-384).
+            decim = cfg.decim or max(1, int(cfg.Fs / (cfg.Fm * 4)))
+            transition = (cfg.Fm / 2) * cfg.rolloff
+            order = int(cfg.resample_rej * cfg.Fs / (22 * transition))
+            order = ((order + 1) // 2) * 2
+            fcut = (cfg.Fm / 2) * (1 + cfg.rolloff / 2) / cfg.Fs
+            coeffs = filtergen.lowpass(order, fcut)
+            self.resampler = blocks.FirFilter(
+                coeffs, decim,
+                freq_tol=cfg.Fm / (cfg.Fs * decim) * 0.1)
+            Fs_eff = cfg.Fs / decim
+        elif cfg.decim and cfg.decim > 1:
+            decim = cfg.decim
+            Fs_eff = cfg.Fs / decim
+        self.decim = decim
+        self.Fs_eff = Fs_eff
+
+        omega = Fs_eff / cfg.Fm
         sampler = cfg.sampler
         rrc_coeffs = ()
         rrc_steps = 1
         if sampler == "rrc":
             from ..dsp import filtergen
-            rrc_steps = cfg.rrc_steps or max(1, int(64 * cfg.Fm / cfg.Fs))
-            Frrc = cfg.Fs * rrc_steps
+            rrc_steps = cfg.rrc_steps or max(1, int(64 * cfg.Fm / Fs_eff))
+            Frrc = Fs_eff * rrc_steps
             transition = (cfg.Fm / 2) * cfg.rolloff
             order = int(cfg.rrc_rej * Frrc / (22 * transition))
             rrc_coeffs = tuple(
@@ -148,9 +192,9 @@ class DvbsReceiver:
             sampler=sampler,
             pll_adjustment=(1.0 / 6 if cfg.viterbi else 1.0),
             allow_drift=cfg.allow_drift,
-            meas_decimation=int(cfg.Fs / cfg.Finfo) if cfg.Finfo else 1 << 20,
+            meas_decimation=int(Fs_eff / cfg.Finfo) if cfg.Finfo else 1 << 20,
             nsymbols=cstln.nsymbols,
-            freq0=cfg.Ftune / cfg.Fs,
+            freq0=cfg.Ftune / Fs_eff,
             rrc_coeffs=rrc_coeffs,
             rrc_steps=rrc_steps,
             exact_lut=cfg.exact_lut or cfg.hard_metric,
@@ -178,13 +222,16 @@ class DvbsReceiver:
         # metrics
         self.vbitcount = 0
         self.verrcount = 0
-        self.meas = {"freq": [], "ss": [], "mer": [], "vber": []}
+        self.meas = {"freq": [], "ss": [], "mer": [], "vber": [],
+                     "cnr": []}
+        self.spectrum_lines = []
 
     # -- streaming API -----------------------------------------------------
 
     def process(self, iq: np.ndarray) -> np.ndarray:
         """Feed [n,2] float32 IQ; returns TS packets [k,188] decoded so far."""
         iq = np.asarray(iq, dtype=np.float32) * np.float32(self.cfg.float_scale)
+        iq = self._preprocess(iq)
         self.sample_backlog = np.concatenate([self.sample_backlog, iq])
 
         ra = self.params.readahead
@@ -209,6 +256,39 @@ class DvbsReceiver:
         else:
             bytes_out = self.deconv.process(syms)
         return self._byte_stages(bytes_out)
+
+    def _preprocess(self, iq: np.ndarray) -> np.ndarray:
+        """Noise / notch / derotation / CNR / spectrum / resample / decim
+        (mirrors the p_preprocessed chain, leandvb.cc:277-399)."""
+        cfg = self.cfg
+        if cfg.awgn:
+            from . import chansim
+            noise, used = chansim.wgn_c(len(iq), cfg.awgn)
+            # (continue the drand48 stream across chunks)
+            self.noise_draws += used
+            iq = iq + noise
+        z = iq[:, 0] + 1j * iq[:, 1] if (
+            self.notch or self.derot or self.cnr_est or self.spectrum
+            or self.resampler or self.decim > 1) else None
+        if z is None:
+            return iq
+        if self.notch:
+            z = self.notch.process(z)
+        if self.derot:
+            z = self.derot.process(z)
+        freq_tap = (self.meas["freq"][-1] if self.meas["freq"] else 0.0)
+        if self.cnr_est:
+            for v in self.cnr_est.process(z, freq_tap / self.decim):
+                self.meas["cnr"].append(float(v))
+        if self.spectrum:
+            for line in self.spectrum.process(z):
+                self.spectrum_lines.append(line)
+        if self.resampler is not None:
+            z = self.resampler.process(z, freq_tap / self.decim)
+        elif self.decim > 1:
+            from ..dsp.blocks import decimate
+            z = decimate(z, self.decim)
+        return np.stack([z.real, z.imag], axis=-1).astype(np.float32)
 
     def _byte_stages(self, bytes_out: np.ndarray) -> np.ndarray:
         if len(bytes_out):
