@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""VBER-vs-SNR sensitivity harness (the leandvb_bench.sh equivalent,
+reference test/leandvb_bench.sh:18-134).
+
+Runs tsgen -> tx(--agc) -> chansim(awgn, deterministic) -> RX in-process
+for a series of (sampling ratio, SNR) points, parses lock/VBER like the
+shell harness (success = LOCKTIME >= 1000 packets), and appends rows
+  commit platform sampling_ratio RXSNR CNR SS MER VBERMIN VBERMAX
+to leandvb_bench_results.txt. The DVB-S acceptance bound is VBER 2e-4 at
+Eb/N0 4.5 dB (leandvb_bench.gnuplot:20-21).
+
+Usage: python tools/bench_vber.py [series ...] [--ref] [--npackets N]
+  --ref runs the reference leandvb binary instead of our receiver
+  (requires .ref_build).
+"""
+
+import argparse
+import os
+import subprocess
+import sys
+from fractions import Fraction
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SERIES = {
+    "1.2sps": ("6/5", [22, 21, 20, 19, 18, 17, 16, 15], {}),
+    "4.2sps": ("21/5", [20, 19, 18, 17, 16, 15, 14], {}),
+    "8.2sps": ("41/5", [21, 20, 19, 18], {}),
+    "4.2sps-rrc": ("21/5", [16, 15, 14, 13, 12, 11, 10],
+                   {"sampler": "rrc"}),
+    "1.2sps-viterbi": ("6/5", [12, 11, 10.5, 10, 9.5, 9, 8.5],
+                       {"viterbi": True}),
+    "1.2sps-viterbi-rrc": ("6/5", [10, 9, 8.5, 8, 7, 6, 5, 4],
+                           {"viterbi": True, "sampler": "rrc"}),
+    "4.2sps-viterbi-rrc": ("21/5", [6, 5, 4.8, 4.6, 4.5, 4.4, 4.3, 4.2,
+                                    4.0, 3.8],
+                           {"viterbi": True, "sampler": "rrc"}),
+}
+
+
+def run_point(ratio: str, snrtarget: float, opts: dict,
+              npackets=3000, minpackets=1000, use_ref=False):
+    from leansdr_tpu.pipelines import tsgen, dvbs_tx, chansim
+    from leansdr_tpu.pipelines.dvbs_rx import DvbsReceiver, RxConfig
+    from leansdr_tpu.util.iofmt import write_iq
+
+    symbrate = 1e6
+    r = Fraction(ratio)
+    samprate = symbrate * r.numerator / r.denominator
+    sigpow = snrtarget          # dB; fixed noise floor at 0 dB
+    noisepow = 0.0
+    float_scale = 10 * np.sqrt(float(r))
+
+    pkts = tsgen.generate(npackets)
+    txcfg = dvbs_tx.TxConfig(
+        amp=dvbs_tx.power_to_amp(sigpow), agc=True,
+        interp=r.numerator, decim=r.denominator)
+    iq = dvbs_tx.modulate(pkts, txcfg)
+    ch = chansim.ChansimConfig(
+        awgn=float(np.exp(np.log(10) * noisepow / 20)), deterministic=True)
+    iq = chansim.simulate(iq, ch)
+
+    if use_ref:
+        return _run_ref_point(iq, samprate, symbrate, float_scale, opts,
+                              minpackets)
+
+    cfg = RxConfig(Fs=samprate, Fm=symbrate, rate="1/2",
+                   float_scale=float_scale, anf=0,
+                   cnr=samprate > 3 * symbrate, fastlock=False, **opts)
+    rx = DvbsReceiver(cfg)
+    CH = 1 << 17
+    vber_samples = []
+    for i in range(0, len(iq), CH):
+        rx.process(iq[i:i + CH])
+        if rx.vbitcount >= 50000:
+            vber_samples.append(rx.vber)
+        if rx.locktime >= minpackets:
+            break
+    if rx.locktime < minpackets:
+        return None
+    vber_samples = vber_samples or [rx.vber]
+    return {
+        "cnr": rx.meas["cnr"][-1] if rx.meas["cnr"] else 0.0,
+        "ss": rx.meas["ss"][-1] if rx.meas["ss"] else 0.0,
+        "mer": rx.meas["mer"][-1] if rx.meas["mer"] else 0.0,
+        "vbermin": min(vber_samples),
+        "vbermax": max(vber_samples),
+    }
+
+
+def _run_ref_point(iq, samprate, symbrate, float_scale, opts, minpackets):
+    from leansdr_tpu.util.iofmt import write_iq
+    ref = Path(__file__).resolve().parent.parent / ".ref_build/src/apps"
+    flags = []
+    if opts.get("viterbi"):
+        flags.append("--viterbi")
+    if opts.get("sampler"):
+        flags += ["--sampler", opts["sampler"]]
+    cmd = [str(ref / "leandvb"), "--f32", "--float-scale", str(float_scale),
+           "-f", str(samprate), "--sr", str(symbrate), "--anf", "0",
+           "--fd-info", "2"] + flags
+    p = subprocess.run(cmd, input=write_iq(iq, "f32"),
+                       capture_output=True)
+    state = {"cnr": 0.0, "ss": 0.0, "mer": 0.0,
+             "vbermin": 1e9, "vbermax": 0.0}
+    success = False
+    for line in p.stderr.decode(errors="replace").splitlines():
+        parts = line.split()
+        if len(parts) != 2:
+            continue
+        tag, arg = parts
+        if tag == "VBER":
+            v = float(arg)
+            state["vbermin"] = min(state["vbermin"], v)
+            state["vbermax"] = max(state["vbermax"], v)
+        elif tag in ("CNR", "SS", "MER"):
+            state[tag.lower()] = float(arg)
+        elif tag == "LOCKTIME" and int(arg) >= minpackets:
+            success = True
+    return state if success else None
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("series", nargs="*", default=[])
+    ap.add_argument("--ref", action="store_true")
+    ap.add_argument("--npackets", type=int, default=3000)
+    ap.add_argument("--snr", type=float, default=None,
+                    help="run only this SNR point")
+    ap.add_argument("--out", default="leandvb_bench_results.txt")
+    args = ap.parse_args()
+
+    sel = args.series or list(SERIES)
+    rows = ["# commit platform sampling_ratio RXSNR CNR SS MER "
+            "VBERMIN VBERMAX"]
+    commit = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                            capture_output=True, text=True).stdout.strip()
+    platform = "ref_leandvb" if args.ref else "leansdr_tpu"
+    for name in sel:
+        ratio, snrs, opts = SERIES[name]
+        rows.append(f"\n# {name}.")
+        for snr in snrs:
+            if args.snr is not None and abs(snr - args.snr) > 1e-9:
+                continue
+            r = run_point(ratio, snr, opts, npackets=args.npackets,
+                          use_ref=args.ref)
+            if r is None:
+                print(f"{name} snr={snr}: no lock")
+                continue
+            row = (f"git:{commit} {platform} {float(Fraction(ratio)):.2f} "
+                   f"{snr:.2f} {r['cnr']} {r['ss']} {r['mer']} "
+                   f"{r['vbermin']:.2e} {r['vbermax']:.2e}")
+            print(row)
+            rows.append(row)
+    Path(args.out).write_text("\n".join(rows) + "\n")
+
+
+if __name__ == "__main__":
+    main()
