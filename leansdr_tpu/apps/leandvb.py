@@ -168,6 +168,9 @@ def parse_args(argv):
         i += 1
     if opts["fd_spectrum"] >= 0:
         cfg.want_spectrum = True
+    if opts["hs"]:
+        cfg.hs = True
+        cfg.anf = 0
     return cfg, opts
 
 

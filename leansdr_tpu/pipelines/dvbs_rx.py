@@ -53,6 +53,7 @@ class RxConfig:
     resample: bool = False       # lowpass + decimate to ~4 sps (--resample)
     resample_rej: float = 10.0
     decim: int = 0               # explicit decimation (--decim)
+    hs: bool = False             # integer fast-QPSK path (--hs)
 
 
 class _DeconvolSync:
@@ -124,6 +125,45 @@ class _DeconvolSync:
         consumed_bits = P * spec.punctweight
         self.backlog = self.backlog[consumed_bits // 2:]
         return out
+
+
+class _DeconvolSyncHS:
+    """The --hs algebraic deconvolver (dvb_deconvol_sync, dvb.h:612-703):
+    QPSK 1/2 polynomials 0x3ba / 0x38f70 hardcoded, 4 sync LUTs, chunks of
+    64 bytes (512 symbols), election every resync_period chunks by
+    estimated error bits."""
+
+    CHUNK_BYTES = 64
+
+    def __init__(self, fastlock: bool):
+        self.maps = deconv.hs_sync_maps()
+        self.locked = 0
+        self.resync_phase = 0
+        self.resync_period = 1 if fastlock else 32
+        self.backlog = np.empty(0, np.uint8)
+
+    def process(self, symbols: np.ndarray) -> np.ndarray:
+        self.backlog = np.concatenate([self.backlog, symbols])
+        out = []
+        # 512 symbols per chunk + 32-symbol window warmup overlap
+        need = self.CHUNK_BYTES * 8 + deconv.TRACEBACK // 2
+        while len(self.backlog) >= need:
+            if self.resync_phase == 0:
+                errs = [deconv.deconvolve_errors(
+                            self.backlog[:need], "1/2", 0, symmap=self.maps[s])
+                        for s in range(4)]
+                best = int(np.argmin(errs))
+                if best != self.locked:
+                    self.locked = best
+            b = deconv.deconvolve_block(
+                self.backlog[:need], "1/2", 0,
+                symmap=self.maps[self.locked])[:self.CHUNK_BYTES]
+            out.append(b)
+            self.backlog = self.backlog[self.CHUNK_BYTES * 8:]
+            self.resync_phase += 1
+            if self.resync_phase >= self.resync_period:
+                self.resync_phase = 0
+        return np.concatenate(out) if out else np.empty(0, np.uint8)
 
 
 class DvbsReceiver:
@@ -202,6 +242,17 @@ class DvbsReceiver:
         self.tables = receiver.make_tables(cstln)
         self.state = receiver.init_state(self.params, 1)
 
+        if cfg.hs:
+            from ..dsp import receiver_hs
+            self.hs_params = receiver_hs.HsParams(
+                omega=omega, freq0=cfg.Ftune / Fs_eff)
+            self.hs_tables = receiver_hs.hs_tables()
+            self.hs_state = receiver_hs.init_state(self.hs_params, 1)
+            self.deconv = _DeconvolSyncHS(cfg.fastlock)
+            self.mpeg = MpegSync(fastlock=True,
+                                 resync_period=1 if cfg.fastlock else 32)
+            self._init_common()
+            return
         if cfg.viterbi:
             from ..fec.viterbi import ViterbiSync
             # FEC23 -> FEC46 for QPSK/64APSKe (leandvb.cc:533-537)
@@ -214,6 +265,9 @@ class DvbsReceiver:
                 "4/6" if rate == "2/3" else rate, cfg.fastlock)
             on_next = self.deconv.next_sync
         self.mpeg = MpegSync(fastlock=cfg.fastlock, on_next_sync=on_next)
+        self._init_common()
+
+    def _init_common(self):
         self.sample_backlog = np.empty((0, 2), np.float32)
         self.byte_backlog = np.empty(0, np.uint8)       # deconv -> mpeg_sync
         self.mpegbyte_backlog = np.empty(0, np.uint8)   # mpeg -> deinterleave
@@ -230,6 +284,8 @@ class DvbsReceiver:
 
     def process(self, iq: np.ndarray) -> np.ndarray:
         """Feed [n,2] float32 IQ; returns TS packets [k,188] decoded so far."""
+        if self.cfg.hs:
+            return self._process_hs(iq)
         iq = np.asarray(iq, dtype=np.float32) * np.float32(self.cfg.float_scale)
         iq = self._preprocess(iq)
         self.sample_backlog = np.concatenate([self.sample_backlog, iq])
@@ -255,6 +311,30 @@ class DvbsReceiver:
             bytes_out = self.deconv.process(syms, costs)
         else:
             bytes_out = self.deconv.process(syms)
+        return self._byte_stages(bytes_out)
+
+    def _process_hs(self, iq: np.ndarray) -> np.ndarray:
+        """--hs path (run_highspeed, leandvb.cc:727-969): u8 IQ only."""
+        from ..dsp import receiver_hs
+        # Undo the u8 -> float conversion of the ingest stage.
+        u8 = (np.asarray(iq, np.float32) + 128.0).astype(np.int32)
+        self.sample_backlog = np.concatenate(
+            [self.sample_backlog, u8.astype(np.float32)])
+        navail = len(self.sample_backlog) - 1
+        K = navail // receiver_hs.CHUNK
+        if K <= 0:
+            return np.empty((0, TS_SIZE), np.uint8)
+        n = K * receiver_hs.CHUNK
+        x = self.sample_backlog[: n + 1].astype(np.int32)
+        self.sample_backlog = self.sample_backlog[n:]
+        self.hs_state, out = receiver_hs.run_chunks_hs(
+            self.hs_params, self.hs_tables, self.hs_state,
+            jnp.asarray(x[None]))
+        valid = np.asarray(out["valid"][0])
+        syms = np.asarray(out["symbol"][0])[valid]
+        for k in np.nonzero(np.asarray(out["nmeas"][0]))[0]:
+            self.meas["freq"].append(float(out["freq"][0, k]))
+        bytes_out = self.deconv.process(syms)
         return self._byte_stages(bytes_out)
 
     def _preprocess(self, iq: np.ndarray) -> np.ndarray:
