@@ -171,6 +171,9 @@ def parse_args(argv):
     if opts["hs"]:
         cfg.hs = True
         cfg.anf = 0
+    if opts["hdlc"]:
+        cfg.hdlc = True
+        cfg.packetized = opts["packetized"]
     return cfg, opts
 
 
@@ -241,7 +244,13 @@ def main(argv=None):
         nitems = len(raw) // itemsize * itemsize
         iq = read_iq(raw[:nitems], opts["input"])
         ts = rx.process(iq)
-        if len(ts):
+        if cfg.hdlc:
+            frames = getattr(rx, "hdlc_frames", None)
+            if frames is not None and len(frames):
+                out.write(frames.tobytes())
+                out.flush()
+                rx.hdlc_frames = frames[:0]
+        elif len(ts):
             out.write(ts.tobytes())
             out.flush()
         flush_info()

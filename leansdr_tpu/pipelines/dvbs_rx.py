@@ -54,6 +54,8 @@ class RxConfig:
     resample_rej: float = 10.0
     decim: int = 0               # explicit decimation (--decim)
     hs: bool = False             # integer fast-QPSK path (--hs)
+    hdlc: bool = False           # HDLC framing instead of MPEG (--hdlc)
+    packetized: bool = False     # 16-bit length prefix (--packetized)
 
 
 class _DeconvolSync:
@@ -265,6 +267,11 @@ class DvbsReceiver:
                 "4/6" if rate == "2/3" else rate, cfg.fastlock)
             on_next = self.deconv.next_sync
         self.mpeg = MpegSync(fastlock=cfg.fastlock, on_next_sync=on_next)
+        if cfg.hdlc:
+            from ..proto.hdlc import HdlcSync
+            self.hdlc_sync = HdlcSync(2, 278, fastlock=cfg.fastlock,
+                                      header16=cfg.packetized)
+            self.etr_state = (0, 0)
         self._init_common()
 
     def _init_common(self):
@@ -371,6 +378,20 @@ class DvbsReceiver:
         return np.stack([z.real, z.imag], axis=-1).astype(np.float32)
 
     def _byte_stages(self, bytes_out: np.ndarray) -> np.ndarray:
+        if self.cfg.hdlc:
+            # --hdlc path (leandvb.cc:546-556): ETR192 descramble ->
+            # HDLC deframe; output is a frame byte stream, not TS packets.
+            from ..proto.hdlc import etr192_descramble
+            if not len(bytes_out):
+                return np.empty((0, TS_SIZE), np.uint8)
+            sr, ctr = self.etr_state
+            descr, sr, ctr = etr192_descramble(bytes_out, sr, ctr)
+            self.etr_state = (sr, ctr)
+            frames = self.hdlc_sync.process(descr)
+            self.hdlc_frames = getattr(self, "hdlc_frames",
+                                       np.empty(0, np.uint8))
+            self.hdlc_frames = np.concatenate([self.hdlc_frames, frames])
+            return np.empty((0, TS_SIZE), np.uint8)
         if len(bytes_out):
             self.byte_backlog = np.concatenate([self.byte_backlog, bytes_out])
         pkts, consumed = self.mpeg.process(self.byte_backlog)
