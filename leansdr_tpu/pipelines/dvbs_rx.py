@@ -56,6 +56,9 @@ class RxConfig:
     hs: bool = False             # integer fast-QPSK path (--hs)
     hdlc: bool = False           # HDLC framing instead of MPEG (--hdlc)
     packetized: bool = False     # 16-bit length prefix (--packetized)
+    # None = auto: use the Mosaic demod kernel when running on TPU with a
+    # linear sampler and the computed decision path.
+    use_pallas: bool | None = None
 
 
 class _DeconvolSync:
@@ -244,6 +247,19 @@ class DvbsReceiver:
         self.tables = receiver.make_tables(cstln)
         self.state = receiver.init_state(self.params, 1)
 
+        use_pallas = cfg.use_pallas
+        if use_pallas is None:
+            import jax
+            use_pallas = (jax.default_backend() not in ("cpu",)
+                          and cfg.sampler == "linear"
+                          and not self.params.exact_lut)
+        self.use_pallas = bool(use_pallas) and cfg.sampler == "linear"
+        if self.use_pallas:
+            from ..dsp import receiver_pallas as rp
+            self._rp = rp
+            self._sym_consts = rp.sym_constants(cstln)
+            self._planes = rp.pack_state(self.state)
+
         if cfg.hs:
             from ..dsp import receiver_hs
             self.hs_params = receiver_hs.HsParams(
@@ -281,6 +297,9 @@ class DvbsReceiver:
         self.derand_pos = 0
         self.first_derand = True
         # metrics
+        from ..core.generic import RateEstimator
+        # VBER window ~ twice/second, at least 50000 bits (leandvb.cc:585)
+        self.vber_est = RateEstimator(max(int(self.cfg.Fm / 2), 50000))
         self.vbitcount = 0
         self.verrcount = 0
         self.meas = {"freq": [], "ss": [], "mer": [], "vber": [],
@@ -307,14 +326,22 @@ class DvbsReceiver:
         self.sample_backlog = self.sample_backlog[n:]
 
         xd = jnp.asarray(x[None, :, :])                 # [1, n+ra, 2]
-        self.state, out = receiver.run_chunks(self.params, self.tables,
-                                              self.state, xd)
-        valid = np.asarray(out["valid"][0])
-        syms = np.asarray(out["symbol"][0])[valid]
-        self._collect_meas(out)
+        if self.use_pallas:
+            self._planes, packed = self._rp.demod_pallas(
+                self.params, self._sym_consts, self._planes, xd)
+            cost, sym, valid_m = self._rp.unpack_outputs(packed, 1)
+            valid = valid_m[0]
+            syms = sym[0][valid]
+            costs = cost[0][valid]
+        else:
+            self.state, out = receiver.run_chunks(self.params, self.tables,
+                                                  self.state, xd)
+            valid = np.asarray(out["valid"][0])
+            syms = np.asarray(out["symbol"][0])[valid]
+            costs = np.asarray(out["cost"][0])[valid]
+            self._collect_meas(out)
 
         if self.cfg.viterbi:
-            costs = np.asarray(out["cost"][0])[valid]
             bytes_out = self.deconv.process(syms, costs)
         else:
             bytes_out = self.deconv.process(syms)
@@ -407,6 +434,7 @@ class DvbsReceiver:
         msgs, failed, bits = rs.decode(rspkts)
         self.vbitcount += rspkts.shape[0] * RS_SIZE * 8
         self.verrcount += int(bits.sum())
+        self.vber_est.update(int(bits.sum()), rspkts.shape[0] * RS_SIZE * 8)
         # Corrupted packets keep flowing with a marked sync byte so the
         # derandomizer keeps phase (dvb.h:1043-1046).
         msgs = msgs.copy()
@@ -437,4 +465,8 @@ class DvbsReceiver:
 
     @property
     def vber(self) -> float:
+        """Windowed VBER like the reference's rate_estimator; falls back
+        to the cumulative ratio before the first full window."""
+        if self.vber_est.latest is not None:
+            return self.vber_est.latest
         return self.verrcount / self.vbitcount if self.vbitcount else 0.0
