@@ -18,7 +18,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..dsp import receiver
 
@@ -52,6 +52,6 @@ def sharded_demod_step(params: receiver.ReceiverParams, mesh: Mesh):
         local_step, mesh=mesh,
         in_specs=(tab_spec, state_spec, spec_c),
         out_specs=(state_spec, spec_c, P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)

@@ -1,0 +1,86 @@
+"""Multi-channel batching and multi-chip sharding tests (8-device CPU
+mesh per conftest)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from leansdr_tpu.dsp import receiver
+from leansdr_tpu.dsp.cstln import Predef, make_dvbs2_constellation
+from leansdr_tpu.parallel import mesh as pmesh
+from leansdr_tpu.pipelines import tsgen, dvbs_tx
+from leansdr_tpu.pipelines.dvbs_rx import RxConfig
+from leansdr_tpu.pipelines.multi_rx import MultiDvbsReceiver
+
+
+def _stimulus(nchan, npackets=150, seed0=0):
+    """Independent DVB-S signals per channel (different payloads)."""
+    iqs, payloads = [], []
+    for c in range(nchan):
+        pkts = tsgen.generate(npackets, start=seed0 + 1000 * c)
+        iq = dvbs_tx.modulate(pkts, dvbs_tx.TxConfig(rate="1/2", interp=2))
+        iqs.append(iq)
+        payloads.append(pkts)
+    n = min(len(q) for q in iqs)
+    return np.stack([q[:n] for q in iqs]), payloads
+
+
+def test_multi_channel_batch_decodes_all():
+    nchan = 4
+    x, payloads = _stimulus(nchan)
+    rx = MultiDvbsReceiver(
+        RxConfig(Fs=4e6, Fm=2e6, rate="1/2", fastlock=True,
+                 float_scale=75.0, exact_lut=False),
+        nchan, use_pallas=False)
+    outs = [np.empty((0, 188), np.uint8)] * nchan
+    for i in range(0, x.shape[1], 1 << 16):
+        res = rx.process(x[:, i:i + (1 << 16)])
+        outs = [np.concatenate([a, b]) for a, b in zip(outs, res)]
+    for c in range(nchan):
+        assert len(outs[c]) >= 80, f"channel {c}: {len(outs[c])}"
+        hits = sum(1 for o in outs[c]
+                   if (payloads[c] == o).all(axis=1).any())
+        assert hits >= 0.95 * len(outs[c]), f"channel {c}"
+
+
+def test_sharded_demod_matches_single_device():
+    """The shard_map channel-sharded step must produce the same symbols
+    as the unsharded batched scan."""
+    ndev = len(jax.devices())
+    assert ndev == 8
+    nchan = ndev * 2
+    x, _ = _stimulus(nchan, npackets=30)
+    n = (x.shape[1] - 1) // 128 * 128
+    xd = jnp.asarray(x[:, :n + 1] * 75.0)
+
+    cstln = make_dvbs2_constellation(Predef.QPSK, "1/2")
+    params = receiver.ReceiverParams(omega=2.0, sampler="linear",
+                                     nsymbols=4, exact_lut=False)
+    tables = receiver.make_tables(cstln)
+    state = receiver.init_state(params, nchan)
+
+    st1, out1 = receiver.run_chunks(params, tables, state, xd)
+
+    m = pmesh.make_channel_mesh(jax.devices())
+    step = pmesh.sharded_demod_step(params, m)
+    st2, out2, mean_mer = step(tables, state, xd)
+
+    # Different shard compilations fuse float ops differently, and the
+    # PLL/timing loop amplifies ulp differences chaotically — so exact
+    # equality is not expected. Require instead that every sharded
+    # channel demodulates VALIDLY: near-zero algebraic deconvolution
+    # errors for the best sync hypothesis in steady state, and symbol
+    # counts matching the unsharded run closely.
+    from leansdr_tpu.fec import deconv
+    v1 = np.asarray(out1["valid"]).sum(axis=1)
+    v2 = np.asarray(out2["valid"]).sum(axis=1)
+    assert (np.abs(v1 - v2) <= 0.01 * v1).all()
+    sym2 = np.asarray(out2["symbol"])
+    val2 = np.asarray(out2["valid"])
+    for c in range(nchan):
+        s = sym2[c][val2[c]][-4096:]
+        errs = min(deconv.deconvolve_errors(s, "1/2", k) for k in range(4))
+        assert errs < 10, f"channel {c}: {errs} deconv errors"
+    assert np.isfinite(float(mean_mer))
+    assert float(mean_mer) > 10.0     # clean signal, locked loops
