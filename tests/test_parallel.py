@@ -84,3 +84,21 @@ def test_sharded_demod_matches_single_device():
         assert errs < 10, f"channel {c}: {errs} deconv errors"
     assert np.isfinite(float(mean_mer))
     assert float(mean_mer) > 10.0     # clean signal, locked loops
+
+
+def test_time_sharded_fir_halo_exchange():
+    """Overlap-save FIR over the time axis with ppermute halos must equal
+    the unsharded causal convolution."""
+    from leansdr_tpu.parallel import halo
+    from leansdr_tpu.dsp import filtergen
+    rng = np.random.default_rng(0)
+    n = 8 * 4096
+    x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+    coeffs = filtergen.root_raised_cosine(32, 0.25, 0.35)
+
+    m = halo.make_time_mesh(jax.devices())
+    fir = halo.sharded_fir(coeffs, m)
+    y = np.asarray(fir(jnp.asarray(x)))
+
+    ref = np.convolve(x, coeffs)[:n]
+    np.testing.assert_allclose(y, ref, atol=1e-4)
