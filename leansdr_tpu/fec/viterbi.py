@@ -280,3 +280,140 @@ class ViterbiSync:
         if self.resync_phase >= self.resync_period:
             self.resync_phase = 0
         return np.packbits(out_bits.reshape(-1))
+
+
+# ---------------------------------------------------------------------------
+# Device path: the ACS as a jitted lax.scan over FEC blocks, all decoder
+# replicas always-on (SURVEY.md section 2.10 P6: hypothesis parallelism as a
+# batch axis replaces the reference's time-multiplexed resync_period — the
+# election uses the same discriminant, computed every chunk for every sync).
+# ---------------------------------------------------------------------------
+
+import jax
+import jax.numpy as jnp
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("rate",))
+def _viterbi_chunk_device(rate, cost_st, path_hi, path_lo, cs, bcost):
+    """Run B ACS steps for all S replicas.
+
+    cost_st [S,64] i32, path_hi/lo [S,64] u32, cs/bcost [S,B] i32.
+    Returns (new state..., us [S,B] i32, quality [S,B] i32).
+    """
+    t = make_trellis(rate)
+    nbits, depth = PATH_SPEC[rate]
+    in_pred = jnp.asarray(t.in_pred)          # [64, NUS]
+    in_us = jnp.asarray(t.in_us)
+    pred_cs = jnp.asarray(t.pred)             # [64, NCS], -1 invalid
+    us_cs = jnp.asarray(t.us)
+    BIG = jnp.int32(1 << 30)
+    states = jnp.arange(NSTATES)
+
+    def step(carry, inp):
+        cost_st, path_hi, path_lo = carry
+        cs_b, c_b = inp                        # [S]
+        prov_pred = pred_cs[states[None, :], cs_b[:, None]]     # [S,64]
+        prov_ok = prov_pred >= 0
+        pp = jnp.maximum(prov_pred, 0)
+        m_prov = jnp.where(
+            prov_ok,
+            jnp.take_along_axis(cost_st, pp, axis=1) + c_b[:, None],
+            BIG)
+        m_other = cost_st[:, in_pred]          # [S,64,NUS]
+        cand = jnp.concatenate([m_prov[:, :, None], m_other], axis=2)
+        # '<=' in the reference means the LAST minimal branch wins.
+        rev = cand[:, :, ::-1]
+        j = cand.shape[2] - 1 - jnp.argmin(rev, axis=2)
+        best_m = jnp.take_along_axis(cand, j[:, :, None], axis=2)[:, :, 0]
+
+        prov_us = us_cs[states[None, :], cs_b[:, None]]
+        all_pred = jnp.concatenate(
+            [pp[:, :, None],
+             jnp.broadcast_to(in_pred[None], m_other.shape)], axis=2)
+        all_us = jnp.concatenate(
+            [prov_us[:, :, None],
+             jnp.broadcast_to(in_us[None], m_other.shape)], axis=2)
+        bpred = jnp.take_along_axis(all_pred, j[:, :, None], axis=2)[:, :, 0]
+        bus = jnp.take_along_axis(all_us, j[:, :, None], axis=2)[:, :, 0]
+
+        ph = jnp.take_along_axis(path_hi, bpred, axis=1)
+        plo = jnp.take_along_axis(path_lo, bpred, axis=1)
+        nb = jnp.uint32(nbits)
+        new_hi = (ph << nb) | (plo >> jnp.uint32(32 - nbits))
+        new_lo = (plo << nb) | bus.astype(jnp.uint32)
+
+        best_state = jnp.argmin(best_m, axis=1)
+        best_tpm = jnp.min(best_m, axis=1)
+        masked = best_m.at[jnp.arange(best_m.shape[0]), best_state].set(BIG)
+        best2 = jnp.min(masked, axis=1)
+
+        cost_st = best_m - best_tpm[:, None]
+        # Read oldest symbol of the best path at the register-exchange
+        # depth (bitpath.read, viterbi.h:292).
+        sel_hi = new_hi[jnp.arange(new_hi.shape[0]), best_state]
+        sel_lo = new_lo[jnp.arange(new_lo.shape[0]), best_state]
+        shift = (depth - 1) * nbits
+        if shift >= 32:
+            us_out = (sel_hi >> jnp.uint32(shift - 32)) \
+                & jnp.uint32((1 << nbits) - 1)
+        else:
+            lo_part = sel_lo >> jnp.uint32(shift)
+            hi_part = jnp.uint32(0) if shift == 0 else \
+                (sel_hi << jnp.uint32(32 - shift))
+            us_out = (lo_part | hi_part) & jnp.uint32((1 << nbits) - 1)
+        return ((cost_st, new_hi, new_lo),
+                (us_out.astype(jnp.int32), best2 - best_tpm))
+
+    (cost_st, path_hi, path_lo), (us, q) = jax.lax.scan(
+        step, (cost_st, path_hi, path_lo),
+        (cs.T.astype(jnp.int32), bcost.T.astype(jnp.int32)))
+    return cost_st, path_hi, path_lo, us.T, q.T
+
+
+class ViterbiSyncDevice(ViterbiSync):
+    """ViterbiSync with the ACS on device and all replicas always-on.
+
+    Behavior-compatible with the reference: same trellis, metrics, paths
+    and election discriminant; the only difference is that non-current
+    replicas advance every chunk instead of only on resync chunks (which
+    the always-on batch makes free) — the elected stream is identical in
+    steady state.
+    """
+
+    def _chunk(self) -> np.ndarray:
+        B = self.CHUNK
+        discr_delay = 64 // self.bits_in
+        costs = self.cost_backlog.astype(np.int64)
+        cs, cost = self._block_inputs(self.sym_backlog, costs, B)
+
+        bank = self.bank
+        if not hasattr(self, "_dev_state"):
+            self._dev_state = (
+                jnp.zeros((self.nsyncs, NSTATES), jnp.int32),
+                jnp.zeros((self.nsyncs, NSTATES), jnp.uint32),
+                jnp.zeros((self.nsyncs, NSTATES), jnp.uint32),
+            )
+        cst, phi, plo = self._dev_state
+        cst, phi, plo, us, q = _viterbi_chunk_device(
+            self.rate, cst, phi, plo,
+            jnp.asarray(cs), jnp.asarray(cost))
+        self._dev_state = (cst, phi, plo)
+        us = np.asarray(us)
+        q = np.asarray(q)
+
+        totaldiscr = q[:, discr_delay:].sum(axis=1)
+        out_bits = np.zeros((B, self.bits_in), np.uint8)
+        r = us[self.current]
+        for j in range(self.bits_in):
+            out_bits[:, j] = (r >> (self.bits_in - 1 - j)) & 1
+        self.sym_backlog = self.sym_backlog[B * self.nshifts:]
+        self.cost_backlog = self.cost_backlog[B * self.nshifts:]
+        if self.resync_phase == 0:
+            best = int(np.argmax(totaldiscr))
+            if totaldiscr[best] > totaldiscr[self.current]:
+                self.current = best
+        self.resync_phase += 1
+        if self.resync_phase >= self.resync_period:
+            self.resync_phase = 0
+        return np.packbits(out_bits.reshape(-1))

@@ -272,11 +272,12 @@ class DvbsReceiver:
             self._init_common()
             return
         if cfg.viterbi:
-            from ..fec.viterbi import ViterbiSync
+            from ..fec.viterbi import ViterbiSyncDevice
             # FEC23 -> FEC46 for QPSK/64APSKe (leandvb.cc:533-537)
             vrate = ("4/6" if (rate == "2/3" and cstln.nsymbols in (4, 64))
                      else rate)
-            self.deconv = ViterbiSync(cstln, vrate, fastlock=cfg.fastlock)
+            self.deconv = ViterbiSyncDevice(cstln, vrate,
+                                            fastlock=cfg.fastlock)
             on_next = None
         else:
             self.deconv = _DeconvolSync(

@@ -50,3 +50,31 @@ def test_sync_maps_qpsk():
     # every map is a permutation
     for m in maps:
         assert sorted(m.tolist()) == [0, 1, 2, 3]
+
+
+def test_device_bank_matches_host_bank():
+    """The device ACS scan must produce the same outputs as the NumPy
+    bank for identical inputs."""
+    import jax.numpy as jnp
+    from leansdr_tpu.fec.viterbi import _viterbi_chunk_device
+    rate = "3/4"
+    rng = np.random.default_rng(2)
+    t = make_trellis(rate)
+    S, B = 3, 64
+    cs = rng.integers(0, t.ncs, (S, B))
+    cost = -rng.integers(0, 3000, (S, B))
+    host = ViterbiBank(t, S)
+    us_h = np.zeros((S, B), np.int64)
+    q_h = np.zeros((S, B), np.int64)
+    for b in range(B):
+        us, q = host.update(np.arange(S), cs[:, b], cost[:, b])
+        us_h[:, b] = us
+        q_h[:, b] = q
+    cst = jnp.zeros((S, 64), jnp.int32)
+    phi = jnp.zeros((S, 64), jnp.uint32)
+    plo = jnp.zeros((S, 64), jnp.uint32)
+    cst, phi, plo, us_d, q_d = _viterbi_chunk_device(
+        rate, cst, phi, plo, jnp.asarray(cs), jnp.asarray(cost))
+    np.testing.assert_array_equal(us_h, np.asarray(us_d))
+    np.testing.assert_array_equal(q_h, np.asarray(q_d))
+    np.testing.assert_array_equal(host.cost, np.asarray(cst))
