@@ -51,6 +51,11 @@ class ReceiverParams:
     # On TPU the gather-free path is the fast one (gathers on tiny
     # per-step operands dominate the scan otherwise).
     exact_lut: bool = True
+    # True: omega (and the derived loop constants / freq limits) come
+    # from per-channel state arrays instead of this static scalar —
+    # enables batching candidate symbol rates as channels (the
+    # leansdrscan configuration sweep as one device batch).
+    omega_per_channel: bool = False
 
     @property
     def readahead(self) -> int:
@@ -69,18 +74,37 @@ class ReceiverParams:
         return (freqw0 - half, freqw0 + half)
 
 
+def per_channel_omega_state(params: ReceiverParams, omegas):
+    """State entries for omega_per_channel mode: one candidate symbol
+    rate per channel (freq_beta and freq limits follow omega)."""
+    omegas = np.asarray(omegas, np.float32)
+    n = {2: 2, 4: 4, 8: 8, 16: 12, 32: 16}.get(params.nsymbols, 4)
+    freqw0 = params.freq0 * 65536
+    half = 65536 / omegas / n / 2
+    return {
+        "omega": jnp.asarray(omegas),
+        "freq_beta": jnp.asarray(
+            (0.0012 / omegas * params.pll_adjustment).astype(np.float32)),
+        "min_freqw": jnp.asarray((freqw0 - half).astype(np.float32)),
+        "max_freqw": jnp.asarray((freqw0 + half).astype(np.float32)),
+    }
+
+
 def init_state(params: ReceiverParams, nchan: int):
     """Initial per-channel loop state (mirrors sdr.h:724-736)."""
     C = nchan
     extra = {}
+    if params.omega_per_channel:
+        extra.update(per_channel_omega_state(
+            params, np.full(C, params.omega, np.float32)))
     if params.sampler == "rrc":
         nc = len(params.rrc_coeffs)
-        extra = {
+        extra.update({
             # update_freq_phase starts 0 -> first chunk shifts the coeffs
             # (fir_sampler, sdr.h:640, 667-675).
             "rrc_phase": jnp.zeros(C, jnp.int32),
             "rrc_shifted": jnp.zeros((C, nc, 2), jnp.float32),
-        }
+        })
     return extra | {
         "mu": jnp.zeros(C, jnp.float32),
         "phase": jnp.zeros(C, jnp.float32),
@@ -183,10 +207,17 @@ def run_chunks_impl(params: ReceiverParams, tables, state, x):
     K = nsamp // CHUNK
 
     freq_alpha = jnp.float32(0.04)
-    freq_beta = jnp.float32(0.0012 / params.omega * params.pll_adjustment)
     gain_mu = jnp.float32(0.02 / (CSTLN_AMP * CSTLN_AMP) * 2)
-    omega = jnp.float32(params.omega)
-    min_freqw, max_freqw = params.freq_limits
+    if params.omega_per_channel:
+        omega = state["omega"]
+        freq_beta = state["freq_beta"]
+        min_freqw = state["min_freqw"]
+        max_freqw = state["max_freqw"]
+    else:
+        freq_beta = jnp.float32(0.0012 / params.omega
+                                * params.pll_adjustment)
+        omega = jnp.float32(params.omega)
+        min_freqw, max_freqw = params.freq_limits
     use_rrc = params.sampler == "rrc"
     if use_rrc:
         rrc_c = jnp.asarray(np.asarray(params.rrc_coeffs, np.float32))

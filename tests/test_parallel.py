@@ -102,3 +102,23 @@ def test_time_sharded_fir_halo_exchange():
 
     ref = np.convolve(x, coeffs)[:n]
     np.testing.assert_allclose(y, ref, atol=1e-4)
+
+
+def test_candidate_scan_elects_true_config():
+    """All (symbol rate, code rate) hypotheses demodulate the same IQ as
+    one batch (per-channel omega); the true config must win by lock."""
+    from leansdr_tpu.pipelines.scan_rx import CandidateScanReceiver, Candidate
+    pkts = tsgen.generate(300)
+    # True signal: 2 Msym/s at 4 Msps, rate 3/4.
+    iq = dvbs_tx.modulate(pkts, dvbs_tx.TxConfig(rate="3/4", interp=2)) * 75.0
+    cands = [Candidate(Fm=1e6, rate="1/2"), Candidate(Fm=2e6, rate="1/2"),
+             Candidate(Fm=2e6, rate="3/4"), Candidate(Fm=4e6 / 3, rate="3/4")]
+    rx = CandidateScanReceiver(Fs=4e6, candidates=cands)
+    win = None
+    for i in range(0, len(iq), 1 << 16):
+        w = rx.process(iq[i:i + (1 << 16)])
+        win = w if win is None else win
+    assert win == 2, f"winner {win}"
+    hits = sum(1 for o in rx.outputs[2]
+               if (pkts == o).all(axis=1).any())
+    assert hits >= 50
