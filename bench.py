@@ -23,6 +23,8 @@ import time
 
 import numpy as np
 
+NCHAN = 2048       # sweet spot on v5e: ~5.2 GS/s aggregate
+
 
 def _time_reps(fn, state0, reps):
     import jax
@@ -44,14 +46,15 @@ def main():
     from leansdr_tpu.dsp import receiver, receiver_pallas as rp
     from leansdr_tpu.dsp.cstln import Predef, make_dvbs2_constellation
 
-    nchan = 1024
-    nsamp = 1024 * receiver.CHUNK      # 131072 samples per call per channel
+    nchan = NCHAN
+    nsamp = 512 * receiver.CHUNK       # 65536 samples per call per channel
 
     cstln = make_dvbs2_constellation(Predef.QPSK, "1/2")
     params = receiver.ReceiverParams(omega=1.2, sampler="linear",
                                      nsymbols=4, exact_lut=False)
     sc = rp.sym_constants(cstln)
-    planes = rp.pack_state(receiver.init_state(params, nchan))
+    planes = rp.pack_state(receiver.init_state(params, nchan),
+                           max(8, -(-nchan // 128)))
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(

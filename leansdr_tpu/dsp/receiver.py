@@ -158,7 +158,7 @@ def _lookup_computed(tables, I, Q):
     """
     sym_re, sym_im = tables["sym_re"], tables["sym_im"]      # [nsym] f32
     sym_phase = tables["sym_phase"]                          # [nsym] f32
-    for _ in range(12):
+    for _ in range(4):     # 4 rounds cover |IQ| < 2048 (kernel-matched)
         over = (I < -128) | (I > 127) | (Q < -128) | (Q > 127)
         I = jnp.where(over, I * 0.5, I)
         Q = jnp.where(over, Q * 0.5, Q)
@@ -238,7 +238,18 @@ def run_chunks_impl(params: ReceiverParams, tables, state, x):
             c0, s0 = expi(-phase)
             sg0_re = pin0[:, 0] * c0 - pin0[:, 1] * s0
             sg0_im = pin0[:, 0] * s0 + pin0[:, 1] * c0
-            c1, s1 = expi(-(phase + chunk_freqw))
+            if params.exact_lut:
+                c1, s1 = expi(-(phase + chunk_freqw))
+            else:
+                # Fast path (mirrors the Pallas kernel): derive the
+                # second rotation from the first by one angle addition
+                # with the chunk-constant delta.
+                idx_d = jnp.trunc(-chunk_freqw)
+                idx_d = idx_d - jnp.floor(idx_d / 65536.0) * 65536.0
+                a_d = idx_d * jnp.float32(2 * np.pi / 65536)
+                dc, dsn = jnp.cos(a_d), jnp.sin(a_d)
+                c1 = c0 * dc - s0 * dsn
+                s1 = s0 * dc + c0 * dsn
             sg1_re = pin1[:, 0] * c1 - pin1[:, 1] * s1
             sg1_im = pin1[:, 0] * s1 + pin1[:, 1] * c1
             sg_re = sg0_re * (1 - mu) + sg1_re * mu

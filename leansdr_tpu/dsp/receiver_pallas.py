@@ -58,8 +58,8 @@ def _mkparams(params: ReceiverParams):
     )
 
 
-def _demod_kernel(params: ReceiverParams, sym_re, sym_im, sym_phase,
-                  x0re_ref, x0im_ref, x1re_ref, x1im_ref,
+def _demod_kernel(params: ReceiverParams, sym_re, sym_im, sym_phase, nsub,
+                  x0re_ref, x0im_ref, xnre_ref, xnim_ref,
                   st_in_ref, st_out_ref, out_ref, st_scratch):
     """One grid step = one 128-sample chunk.
 
@@ -82,12 +82,21 @@ def _demod_kernel(params: ReceiverParams, sym_re, sym_im, sym_phase,
     freqw = st_scratch[2]
     agc_gain = st_scratch[3]
     chunk_freqw = freqw      # sampler->update_freq at chunk start
+    # Rotation for pin1 derived from pin0's by one angle-addition with the
+    # chunk-constant delta (saves one sincos per sample; the delta loses
+    # the per-sample u16 quantization of the second angle — sub-ulp-of-
+    # phase-step difference, equivalent behavior).
+    idx_d = jnp.trunc(-chunk_freqw)
+    idx_d = idx_d - jnp.floor(idx_d / 65536.0) * 65536.0
+    a_d = idx_d * jnp.float32(2 * np.pi / 65536)
+    dcos = jnp.cos(a_d)
+    dsin = jnp.sin(a_d)
 
     hist = [st_scratch[7 + k] for k in range(12)]
     # hist order: p_re0, p_im0, p_re1, p_im1, p_re2, p_im2,
     #             c_re0, c_im0, c_re1, c_im1, c_re2, c_im2
 
-    zeros = jnp.zeros((SUB, LANE), jnp.float32)
+    zeros = jnp.zeros((nsub, LANE), jnp.float32)
 
     def body(t, carry):
         (mu, phase, freqw, p0r, p0i, p1r, p1i, p2r, p2i,
@@ -96,8 +105,12 @@ def _demod_kernel(params: ReceiverParams, sym_re, sym_im, sym_phase,
 
         x0r = x0re_ref[t]
         x0i = x0im_ref[t]
-        x1r = x1re_ref[t]
-        x1i = x1im_ref[t]
+        # pin1 = next sample; the chunk's last sample peeks at the first
+        # sample of the NEXT chunk, delivered via the tiny xn block.
+        tn = jnp.minimum(t + 1, CHUNK - 1)
+        last = t == CHUNK - 1
+        x1r = jnp.where(last, xnre_ref[0], x0re_ref[tn])
+        x1i = jnp.where(last, xnim_ref[0], x0im_ref[tn])
 
         emit = mu < 1.0
 
@@ -109,11 +122,8 @@ def _demod_kernel(params: ReceiverParams, sym_re, sym_im, sym_phase,
         a0 = idx0 * jnp.float32(2 * np.pi / 65536)
         cr0 = jnp.cos(a0)
         sr0 = jnp.sin(a0)
-        idx1 = jnp.trunc(-(phase + chunk_freqw))
-        idx1 = idx1 - jnp.floor(idx1 / 65536.0) * 65536.0
-        a1 = idx1 * jnp.float32(2 * np.pi / 65536)
-        cr1 = jnp.cos(a1)
-        sr1 = jnp.sin(a1)
+        cr1 = cr0 * dcos - sr0 * dsin
+        sr1 = sr0 * dcos + cr0 * dsin
         sg0_re = x0r * cr0 - x0i * sr0
         sg0_im = x0r * sr0 + x0i * cr0
         sg1_re = x1r * cr1 - x1i * sr1
@@ -124,17 +134,18 @@ def _demod_kernel(params: ReceiverParams, sym_re, sym_im, sym_phase,
         s_re = sg_re * agc_gain
         s_im = sg_im * agc_gain
 
-        # constellation decision (computed LUT semantics)
+        # constellation decision (computed LUT semantics); 4 halving
+        # rounds cover |IQ| < 2048 (AGC keeps amplitudes near 75)
         I, Q = s_re, s_im
-        for _ in range(12):
+        for _ in range(4):
             over = (I < -128.0) | (I > 127.0) | (Q < -128.0) | (Q > 127.0)
             I = jnp.where(over, I * 0.5, I)
             Q = jnp.where(over, Q * 0.5, Q)
         i8 = jnp.trunc(I)
         q8 = jnp.trunc(Q)
-        d1 = jnp.full((SUB, LANE), 3.4e38, jnp.float32)
-        d2 = jnp.full((SUB, LANE), 3.4e38, jnp.float32)
-        near = jnp.zeros((SUB, LANE), jnp.int32)
+        d1 = jnp.full((nsub, LANE), 3.4e38, jnp.float32)
+        d2 = jnp.full((nsub, LANE), 3.4e38, jnp.float32)
+        near = jnp.zeros((nsub, LANE), jnp.int32)
         cpt_re = zeros
         cpt_im = zeros
         ph_sym = zeros
@@ -261,11 +272,12 @@ def _demod_kernel(params: ReceiverParams, sym_re, sym_im, sym_phase,
 NSTATE = 19
 
 
-def pack_state(state) -> jnp.ndarray:
-    """receiver.init_state dict [C,...] -> [NSTATE, 8, 128] planes."""
+def pack_state(state, nsub: int = SUB) -> jnp.ndarray:
+    """receiver.init_state dict [C,...] -> [NSTATE, nsub, 128] planes."""
     C = state["mu"].shape[0]
-    assert C <= CMAX
-    planes = np.zeros((NSTATE, CMAX), np.float32)
+    cmax = nsub * LANE
+    assert C <= cmax
+    planes = np.zeros((NSTATE, cmax), np.float32)
 
     def put(k, v):
         planes[k, :C] = np.asarray(v, np.float32)
@@ -280,12 +292,12 @@ def pack_state(state) -> jnp.ndarray:
         planes[8 + 2 * k, :C] = hp[:, k, 1]
         planes[13 + 2 * k, :C] = hc[:, k, 0]
         planes[14 + 2 * k, :C] = hc[:, k, 1]
-    return jnp.asarray(planes.reshape(NSTATE, SUB, LANE))
+    return jnp.asarray(planes.reshape(NSTATE, nsub, LANE))
 
 
 def unpack_state(planes, C, meas_count=None):
-    """[NSTATE, 8, 128] -> receiver state dict for C channels."""
-    p = np.asarray(planes).reshape(NSTATE, CMAX)[:, :C]
+    """[NSTATE, nsub, 128] -> receiver state dict for C channels."""
+    p = np.asarray(planes).reshape(NSTATE, -1)[:, :C]
     hist_p = np.stack([np.stack([p[7 + 2 * k], p[8 + 2 * k]], -1)
                        for k in range(3)], 1)
     hist_c = np.stack([np.stack([p[13 + 2 * k], p[14 + 2 * k]], -1)
@@ -316,37 +328,43 @@ def demod_pallas(params: ReceiverParams, sym_consts, st_planes, x,
     nsamp = n1 - 1
     nT = nsamp // CHUNK
     assert nT * CHUNK == nsamp
+    nsub = max(SUB, -(-C // LANE))
+    cmax = nsub * LANE
 
     sym_re, sym_im, sym_phase = sym_consts
     xt = jnp.moveaxis(x, 0, 1)                      # [nsamp+1, C, 2]
-    pad = CMAX - C
+    pad = cmax - C
     if pad:
         xt = jnp.pad(xt, ((0, 0), (0, pad), (0, 0)))
-    xt = xt.reshape(n1, SUB, LANE, 2)
+    xt = xt.reshape(n1, nsub, LANE, 2)
     x0re = xt[:-1, :, :, 0]
     x0im = xt[:-1, :, :, 1]
-    x1re = xt[1:, :, :, 0]
-    x1im = xt[1:, :, :, 1]
+    # One lookahead sample per chunk: sample index (i+1)*CHUNK.
+    xn = xt[CHUNK::CHUNK]                            # [nT, nsub, LANE, 2]
+    xnre = xn[:, :, :, 0]
+    xnim = xn[:, :, :, 1]
 
-    kernel = partial(_demod_kernel, params, sym_re, sym_im, sym_phase)
+    kernel = partial(_demod_kernel, params, sym_re, sym_im, sym_phase, nsub)
 
-    blk = lambda: pl.BlockSpec((CHUNK, SUB, LANE), lambda i: (i, 0, 0),
+    blk = lambda: pl.BlockSpec((CHUNK, nsub, LANE), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)
-    st_spec = pl.BlockSpec((NSTATE, SUB, LANE), lambda i: (0, 0, 0),
+    nblk = lambda: pl.BlockSpec((1, nsub, LANE), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+    st_spec = pl.BlockSpec((NSTATE, nsub, LANE), lambda i: (0, 0, 0),
                            memory_space=pltpu.VMEM)
 
     st_out, packed = pl.pallas_call(
         kernel,
         grid=(nT,),
-        in_specs=[blk(), blk(), blk(), blk(), st_spec],
+        in_specs=[blk(), blk(), nblk(), nblk(), st_spec],
         out_specs=[st_spec, blk()],
         out_shape=[
-            jax.ShapeDtypeStruct((NSTATE, SUB, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((nsamp, SUB, LANE), jnp.int32),
+            jax.ShapeDtypeStruct((NSTATE, nsub, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((nsamp, nsub, LANE), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((NSTATE, SUB, LANE), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((NSTATE, nsub, LANE), jnp.float32)],
         interpret=interpret,
-    )(x0re, x0im, x1re, x1im, st_planes)
+    )(x0re, x0im, xnre, xnim, st_planes)
     return st_out, packed
 
 
