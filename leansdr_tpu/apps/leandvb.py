@@ -171,6 +171,8 @@ def parse_args(argv):
     if opts["hs"]:
         cfg.hs = True
         cfg.anf = 0
+    if opts["fd_const"] >= 0:
+        cfg.want_const = True
     if opts["hdlc"]:
         cfg.hdlc = True
         cfg.packetized = opts["packetized"]
@@ -236,6 +238,11 @@ def main(argv=None):
             for line in rx.spectrum_lines[spectrum_sent:]:
                 specw.spectrum(line)
             spectrum_sent = len(rx.spectrum_lines)
+        if constw:
+            pts = getattr(rx, "sampled_points", [])
+            while len(pts) >= 128:
+                constw.symbols(pts[:128])
+                del pts[:128]
 
     while True:
         raw = stdin.read(CHUNK_BYTES)

@@ -54,6 +54,7 @@ class RxConfig:
     resample_rej: float = 10.0
     decim: int = 0               # explicit decimation (--decim)
     hs: bool = False             # integer fast-QPSK path (--hs)
+    want_const: bool = False     # collect sampled IQ points (--fd-const)
     hdlc: bool = False           # HDLC framing instead of MPEG (--hdlc)
     packetized: bool = False     # 16-bit length prefix (--packetized)
     # None = auto: use the Mosaic demod kernel when running on TPU with a
@@ -306,6 +307,7 @@ class DvbsReceiver:
         self.meas = {"freq": [], "ss": [], "mer": [], "vber": [],
                      "cnr": []}
         self.spectrum_lines = []
+        self.sampled_points = []     # (re, im) for --fd-const SYMBOLS
 
     # -- streaming API -----------------------------------------------------
 
@@ -455,6 +457,11 @@ class DvbsReceiver:
                 self.meas["freq"].append(float(out["freq"][0, k]))
                 self.meas["ss"].append(float(out["ss"][0, k]))
                 self.meas["mer"].append(float(out["mer"][0, k]))
+        if self.cfg.want_const:
+            # One interpolated symbol per chunk (p_sampled / cstln_out,
+            # sdr.h:860-861); CLI emits batches of 128.
+            pts = np.asarray(out["sampled"][0])
+            self.sampled_points.extend(map(tuple, pts))
 
     @property
     def lock(self) -> bool:

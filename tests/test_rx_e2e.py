@@ -71,3 +71,28 @@ def test_rx_steady_state_matches_leandvb(ref_apps, rate):
     # Decoded packets are bit-exact by construction of the match; also
     # require we recover at least 90% of what the reference recovers.
     assert len(ours_set) >= 0.9 * len(ref_set), (len(ours_set), len(ref_set))
+
+
+def test_coarse_carrier_acquisition_beyond_pll_range():
+    """The FFT coarse search must recover a frequency offset far outside
+    the PLL capture range, and seeding Ftune with it must let the
+    receiver lock (the additive acquisition accelerator)."""
+    from leansdr_tpu.dsp.acquisition import coarse_carrier_estimate
+    from leansdr_tpu.dsp.blocks import Rotator
+
+    pkts = tsgen.generate(300)
+    iq = dvbs_tx.modulate(pkts, dvbs_tx.TxConfig(rate="1/2", interp=2))
+    # Shift by 3% of Fs — far beyond the +-SR/8 clamp.
+    offset = 0.03
+    rot = Rotator(offset)
+    z = rot.process(iq[:, 0] + 1j * iq[:, 1])
+    x = np.stack([z.real, z.imag], -1).astype(np.float32) * 75.0
+
+    est = coarse_carrier_estimate(x, msymbols=4)
+    assert abs(est - offset) < 1e-3, est
+
+    rx = DvbsReceiver(RxConfig(Fs=4e6, Fm=2e6, rate="1/2", fastlock=True,
+                               Ftune=est * 4e6))
+    out = _decode_stream(rx, x)
+    m = _match_indices(pkts, out)
+    assert (m >= 0).sum() >= 150
