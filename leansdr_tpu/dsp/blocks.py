@@ -286,3 +286,50 @@ class Spectrum:
             self.backlog = self.backlog[self.NFFT:]
         return (np.stack(out) if out
                 else np.empty((0, self.NFFT), np.float32))
+
+
+def adder(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """adder<T> (dsp.h:118-138)."""
+    return a + b
+
+
+def scaler(k, x: np.ndarray) -> np.ndarray:
+    """scaler<Tscale,Tin,Tout> (dsp.h:140-160)."""
+    return np.float32(k) * x
+
+
+def naive_lowpass(x: np.ndarray, w: int) -> np.ndarray:
+    """naive_lowpass (dsp.h:192-217): boxcar average of width w; output
+    k is the mean of x[k .. k+w-1] (w-sample lookahead)."""
+    c = np.cumsum(np.concatenate([[0], x]))
+    n = len(x) - w
+    if n <= 0:
+        return x[:0]
+    k = np.float32(1.0 / w)
+    return ((c[w:w + n] - c[:n]) * k).astype(x.dtype)
+
+
+class SSAmpEstimator:
+    """ss_amp_estimator (sdr.h:191-233): RMS plus min/max amplitude per
+    window."""
+
+    def __init__(self, window_size=1024, decimation=1024):
+        self.window = window_size
+        self.decimation = decimation
+        self.phase = 0
+        self.backlog = np.empty(0, np.complex64)
+
+    def process(self, x: np.ndarray):
+        self.backlog = np.concatenate([self.backlog, x])
+        out = []
+        while len(self.backlog) >= self.window:
+            w = self.backlog[:self.window]
+            self.phase += self.window
+            if self.phase >= self.decimation:
+                self.phase -= self.decimation
+                mag2 = w.real ** 2 + w.imag ** 2
+                mag = np.sqrt(mag2)
+                out.append((float(np.sqrt(mag2.mean())),
+                            float(mag.min()), float(mag.max())))
+            self.backlog = self.backlog[self.window:]
+        return out
