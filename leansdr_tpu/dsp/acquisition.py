@@ -19,13 +19,13 @@ from functools import partial
 
 @partial(jax.jit, static_argnames=("m", "nfft"))
 def _power_spectrum_mth(x, m: int, nfft: int):
+    from .fft import fft_planes
     n = (x.shape[0] // nfft) * nfft
-    z = x[:n, 0] + 1j * x[:n, 1]
+    zr, zi = x[:n, 0], x[:n, 1]
     for _ in range(int(np.log2(m))):
-        z = z * z
-    frames = z.reshape(-1, nfft)
-    spec = jnp.abs(jnp.fft.fft(frames, axis=1)) ** 2
-    return jnp.sum(spec, axis=0)
+        zr, zi = zr * zr - zi * zi, 2 * zr * zi
+    fr, fi = fft_planes(zr.reshape(-1, nfft), zi.reshape(-1, nfft), nfft)
+    return jnp.sum(fr * fr + fi * fi, axis=0)
 
 
 def coarse_carrier_estimate(iq: np.ndarray, msymbols: int = 4,

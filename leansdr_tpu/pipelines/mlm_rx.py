@@ -117,21 +117,26 @@ def _atan2_u16(y, x):
 
 
 @jax.jit
-def channelize(x: jnp.ndarray, ibins: jnp.ndarray, weights: jnp.ndarray):
-    """[nframes, N] complex64 windows -> [nframes, nchan] u16 phases."""
-    bins = jnp.fft.fft(x, axis=1)                   # FFTW sign -1
-    N = x.shape[1]
-    b0 = bins[:, ibins]                             # [F, C]
-    b1 = bins[:, (ibins + 1) % N]
+def channelize(xr: jnp.ndarray, xi: jnp.ndarray, ibins: jnp.ndarray,
+               weights: jnp.ndarray):
+    """[nframes, N] float32 window planes -> [nframes, nchan] u16 phases.
+
+    Plane-based throughout (the axon TPU backend has no complex dtype)."""
+    from ..dsp.fft import fft_planes
+    N = xr.shape[1]
+    br, bi = fft_planes(xr, xi, N)                  # FFTW sign -1; MXU DFT
+    b0r, b0i = br[:, ibins], bi[:, ibins]           # [F, C]
+    i1 = (ibins + 1) % N
+    b1r, b1i = br[:, i1], bi[:, i1]
     # d[i] = sum_b bw[b,i,0]*re_b + bw[b,i,1]*im_b
-    d_re = (weights[None, :, 0, 0, 0] * b0.real
-            + weights[None, :, 0, 0, 1] * b0.imag
-            + weights[None, :, 1, 0, 0] * b1.real
-            + weights[None, :, 1, 0, 1] * b1.imag)
-    d_im = (weights[None, :, 0, 1, 0] * b0.real
-            + weights[None, :, 0, 1, 1] * b0.imag
-            + weights[None, :, 1, 1, 0] * b1.real
-            + weights[None, :, 1, 1, 1] * b1.imag)
+    d_re = (weights[None, :, 0, 0, 0] * b0r
+            + weights[None, :, 0, 0, 1] * b0i
+            + weights[None, :, 1, 0, 0] * b1r
+            + weights[None, :, 1, 0, 1] * b1i)
+    d_im = (weights[None, :, 0, 1, 0] * b0r
+            + weights[None, :, 0, 1, 1] * b0i
+            + weights[None, :, 1, 1, 0] * b1r
+            + weights[None, :, 1, 1, 1] * b1i)
     for _ in range(10):
         over = ((d_re < -126) | (d_re > 126)
                 | (d_im < -126) | (d_im > 126))
@@ -172,9 +177,11 @@ class MlmReceiver:
         windows = self.backlog[idx]
         self.backlog = self.backlog[nframes * self.stride:]
 
-        ph = np.asarray(channelize(jnp.asarray(windows),
-                                   jnp.asarray(self.ibins),
-                                   jnp.asarray(self.weights)))  # [F, C]
+        ph = np.asarray(channelize(
+            jnp.asarray(windows.real.astype(np.float32)),
+            jnp.asarray(windows.imag.astype(np.float32)),
+            jnp.asarray(self.ibins),
+            jnp.asarray(self.weights)))  # [F, C]
 
         # FM discriminator: dph = ph - prevph - derot (u16 -> s16)
         prev = np.concatenate([self.prevph[None, :], ph[:-1]], axis=0)

@@ -27,21 +27,22 @@ MXU_PEAK_F32 = 49e12        # FLOP/s (f32 on the bf16 MXU, conservative)
 
 
 def marginal_time(fn, arg, reps=4):
-    import jax
-    best1 = best4 = 1e9
-    for _ in range(3):
-        t0 = time.perf_counter()
-        r = fn(arg)
-        float(np.asarray(r).ravel()[0])
-        best1 = min(best1, time.perf_counter() - t0)
-    for _ in range(3):
-        t0 = time.perf_counter()
-        r = arg
-        for _ in range(reps):
-            r = fn(r) if r.shape == arg.shape else fn(arg)
-        float(np.asarray(r).ravel()[0])
-        best4 = min(best4, time.perf_counter() - t0)
-    return max((best4 - best1) / (reps - 1), 1e-9)
+    """Chained timing: each rep depends on the previous via a scalar
+    feedback term, so dispatch pipelining cannot hide execution."""
+    import jax.numpy as jnp
+
+    def run(n):
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            s = jnp.float32(0)
+            for _ in range(n):
+                y = fn(arg + s)
+                s = jnp.max(y) * jnp.float32(1e-30)
+            float(np.asarray(s))
+            best = min(best, time.perf_counter() - t0)
+        return best
+    return max((run(reps) - run(1)) / (reps - 1), 1e-9)
 
 
 def bench_fir():
@@ -50,26 +51,21 @@ def bench_fir():
     from leansdr_tpu.dsp import filtergen
 
     # 64-channel RRC matched filter, the north-star preprocessing shape.
-    C, n = 64, 1 << 20
+    C, n = 64, 1 << 18
     taps = filtergen.root_raised_cosine(64, 0.25, 0.35)
     nt = len(taps)
     k = jnp.asarray(taps.reshape(1, 1, nt))
 
-    tapsj = [jnp.float32(float(v)) for v in taps]
+    from leansdr_tpu.dsp.fir_pallas import fir_pallas
+    tt = tuple(float(v) for v in taps)
 
     @jax.jit
     def fir(x):
-        # Shifted-add FIR over [C*2, n+nt] (real/imag planes on the batch
-        # axis): XLA fuses the nt adds into one streaming pass — the
-        # shape of a bandwidth-bound FIR on TPU.
-        acc = jnp.zeros((C * 2, n), jnp.float32)
-        for k in range(nt):
-            acc = acc + tapsj[k] * jax.lax.dynamic_slice_in_dim(
-                x, nt - 1 - k, n, axis=1)
-        return acc
+        # One-pass streaming FIR in VMEM (leansdr_tpu/dsp/fir_pallas.py).
+        return fir_pallas(x, tt)
 
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.normal(size=(C * 2, n + nt)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(C * 2, n)).astype(np.float32))
     dt = marginal_time(fir, x)
     flops = 2 * C * 2 * n * nt
     bytes_moved = 2 * C * 2 * n * 4
@@ -88,15 +84,17 @@ def bench_fft():
     import jax.numpy as jnp
 
     # The channelizer/notch shape: batched 4096-point FFTs.
-    B, N = 4096, 4096
+    B, N = 1024, 4096
+
+    from leansdr_tpu.dsp.fft import fft_planes
 
     @jax.jit
     def fft(x):
-        return jnp.fft.fft(x, axis=1)
+        yr, yi = fft_planes(x[..., 0], x[..., 1], N)
+        return jnp.stack([yr, yi], axis=-1)
 
     rng = np.random.default_rng(0)
-    x = jnp.asarray((rng.normal(size=(B, N))
-                     + 1j * rng.normal(size=(B, N))).astype(np.complex64))
+    x = jnp.asarray(rng.normal(size=(B, N, 2)).astype(np.float32))
     dt = marginal_time(fft, x)
     flops = 5 * B * N * np.log2(N)
     bytes_moved = 2 * B * N * 8
