@@ -471,6 +471,68 @@ class DvbsReceiver:
     def locktime(self) -> int:
         return self.mpeg.locktime
 
+    # -- checkpoint / resume (SURVEY.md section 5.4: the aggregate state
+    # pytree IS the checkpoint — something the reference structurally
+    # cannot do; restart there means re-acquiring lock) ----------------
+
+    def save_state(self) -> bytes:
+        """Serialize every mutable piece of the receiver: device loop
+        state, all host FSMs and stream backlogs."""
+        import pickle
+        import numpy as np
+        dev = ({k: np.asarray(v) for k, v in self.state.items()}
+               if not self.use_pallas else np.asarray(self._planes))
+        return pickle.dumps({
+            "dev": dev,
+            "use_pallas": self.use_pallas,
+            "sample_backlog": self.sample_backlog,
+            "byte_backlog": self.byte_backlog,
+            "mpegbyte_backlog": self.mpegbyte_backlog,
+            "derand_pos": self.derand_pos,
+            "deconv": self.deconv.__dict__ if hasattr(
+                self.deconv, "__dict__") else None,
+            "mpeg": {k: v for k, v in self.mpeg.__dict__.items()
+                     if k != "on_next_sync"},
+            "vbitcount": self.vbitcount,
+            "verrcount": self.verrcount,
+            "meas": self.meas,
+        })
+
+    def load_state(self, blob: bytes) -> None:
+        import pickle
+        d = pickle.loads(blob)
+        if d["use_pallas"] != self.use_pallas:
+            raise ValueError("checkpoint demod path mismatch")
+        if self.use_pallas:
+            self._planes = jnp.asarray(d["dev"])
+        else:
+            self.state = {k: jnp.asarray(v) for k, v in d["dev"].items()}
+        self.sample_backlog = d["sample_backlog"]
+        self.byte_backlog = d["byte_backlog"]
+        self.mpegbyte_backlog = d["mpegbyte_backlog"]
+        self.derand_pos = d["derand_pos"]
+        if d["deconv"] is not None:
+            self.deconv.__dict__.update(d["deconv"])
+        self.mpeg.__dict__.update(d["mpeg"])
+        self.vbitcount = d["vbitcount"]
+        self.verrcount = d["verrcount"]
+        self.meas = d["meas"]
+
+    def stats(self) -> dict:
+        """Per-stage progress counters (the sch.dump() equivalent,
+        framework.h:115-121): totals and backlog fill levels."""
+        return {
+            "sample_backlog": int(len(self.sample_backlog)),
+            "symbol_backlog": int(len(getattr(self.deconv, "backlog",
+                                              []))),
+            "byte_backlog": int(len(self.byte_backlog)),
+            "mpegbyte_backlog": int(len(self.mpegbyte_backlog)),
+            "vbitcount": self.vbitcount,
+            "verrcount": self.verrcount,
+            "lock": self.lock,
+            "locktime": self.locktime,
+        }
+
     @property
     def vber(self) -> float:
         """Windowed VBER like the reference's rate_estimator; falls back

@@ -96,3 +96,26 @@ def test_coarse_carrier_acquisition_beyond_pll_range():
     out = _decode_stream(rx, x)
     m = _match_indices(pkts, out)
     assert (m >= 0).sum() >= 150
+
+
+def test_checkpoint_resume_exact():
+    """Serializing mid-stream and resuming in a NEW receiver must produce
+    exactly the TS packets of an uninterrupted run (SURVEY.md 5.4)."""
+    pkts = tsgen.generate(260)
+    iq = dvbs_tx.modulate(pkts, dvbs_tx.TxConfig(rate="1/2", interp=2))
+    cfg = RxConfig(Fs=4e6, Fm=2e6, rate="1/2", fastlock=True)
+
+    rx_ref = DvbsReceiver(cfg)
+    full = _decode_stream(rx_ref, iq, chunk=1 << 16)
+
+    half = (len(iq) // 2) // (1 << 16) * (1 << 16)
+    rx_a = DvbsReceiver(cfg)
+    out_a = _decode_stream(rx_a, iq[:half], chunk=1 << 16)
+    blob = rx_a.save_state()
+
+    rx_b = DvbsReceiver(cfg)
+    rx_b.load_state(blob)
+    out_b = _decode_stream(rx_b, iq[half:], chunk=1 << 16)
+
+    resumed = np.concatenate([out_a, out_b])
+    np.testing.assert_array_equal(resumed, full)
