@@ -375,3 +375,49 @@ def unpack_outputs(packed, C):
     sym = ((p >> 16) & 0xFF).astype(np.uint8)
     valid = (p >> 24) & 1
     return cost, sym, valid.astype(bool)
+
+
+# ---------------------------------------------------------------------------
+# Device-side output compaction: the raw [nsamp, nsub, 128] int32 output is
+# large (and host links — especially the axon tunnel — are slow); symbols
+# only need 3 bits (valid<<2 | symbol) for QPSK-class constellations, so we
+# bit-pack 10 samples per int32 on device and slice to the used lanes
+# before fetching. Costs (for --viterbi) pack 2 per int32.
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("nchan", "want_cost"))
+def pack_outputs(packed: jnp.ndarray, nchan: int, want_cost: bool = False):
+    nsamp = packed.shape[0]
+    flat = packed.reshape(nsamp, -1)[:, :nchan]          # [nsamp, C]
+    # 8 samples x 3 bits per int32 word (8 divides every CHUNK multiple,
+    # so no trailing samples are lost across chunk boundaries).
+    n8 = nsamp // 8
+    v3 = ((flat >> 24 & 1) << 2) | ((flat >> 16) & 3)
+    v3 = v3.reshape(n8, 8, nchan)
+    word = jnp.zeros((n8, nchan), jnp.int32)
+    for k in range(8):
+        word = word | (v3[:, k] << (3 * k))
+    if not want_cost:
+        return word, None
+    cost = flat & 0xFFFF                                 # -cost, 16 bits
+    c2 = cost[: (nsamp // 2) * 2].reshape(nsamp // 2, 2, nchan)
+    cword = c2[:, 0] | (c2[:, 1] << 16)
+    return word, cword
+
+
+def unpack_sym3(word: np.ndarray, nsamp: int):
+    """[n8, C] i32 -> (sym u8 [C, nsamp], valid bool [C, nsamp])."""
+    w = np.asarray(word)
+    n8, C = w.shape
+    k = np.arange(8)
+    v3 = (w[:, None, :] >> (3 * k)[None, :, None]) & 7
+    v3 = v3.reshape(n8 * 8, C).T
+    return (v3 & 3).astype(np.uint8), (v3 >> 2).astype(bool)
+
+
+def unpack_cost(cword: np.ndarray):
+    w = np.asarray(cword)
+    c = np.empty((w.shape[1], w.shape[0] * 2), np.int16)
+    c[:, 0::2] = (-(w & 0xFFFF)).astype(np.int16).T
+    c[:, 1::2] = (-((w >> 16) & 0xFFFF)).astype(np.int16).T
+    return c

@@ -332,10 +332,13 @@ class DvbsReceiver:
         if self.use_pallas:
             self._planes, packed = self._rp.demod_pallas(
                 self.params, self._sym_consts, self._planes, xd)
-            cost, sym, valid_m = self._rp.unpack_outputs(packed, 1)
+            word, cword = self._rp.pack_outputs(packed, 1,
+                                                want_cost=self.cfg.viterbi)
+            sym, valid_m = self._rp.unpack_sym3(word, n)
             valid = valid_m[0]
             syms = sym[0][valid]
-            costs = cost[0][valid]
+            costs = (self._rp.unpack_cost(cword)[0][:len(valid)][valid]
+                     if cword is not None else None)
         else:
             self.state, out = receiver.run_chunks(self.params, self.tables,
                                                   self.state, xd)

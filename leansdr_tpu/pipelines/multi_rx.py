@@ -89,23 +89,35 @@ class MultiDvbsReceiver:
                        for _ in range(nchan)]
         self.sample_backlog = np.empty((nchan, 0, 2), np.float32)
 
-    def process(self, iq: np.ndarray):
-        """[C, n, 2] float32 IQ -> list of [k_c, 188] TS packet arrays."""
-        iq = np.asarray(iq, np.float32) * np.float32(self.cfg.float_scale)
-        self.sample_backlog = np.concatenate(
-            [self.sample_backlog, iq], axis=1)
+    def process(self, iq):
+        """[C, n, 2] float32 IQ -> list of [k_c, 188] TS packet arrays.
+
+        `iq` may be a device array whose length is readahead + a multiple
+        of CHUNK (and float_scale already applied): it is then consumed
+        directly with no host round-trip — the fast path for
+        device-resident streams.
+        """
         ra = self.params.readahead
-        K = (self.sample_backlog.shape[1] - ra) // receiver.CHUNK
-        if K <= 0:
-            return [np.empty((0, TS_SIZE), np.uint8)] * self.nchan
-        n = K * receiver.CHUNK
-        x = jnp.asarray(self.sample_backlog[:, :n + ra])
-        self.sample_backlog = self.sample_backlog[:, n:]
+        if isinstance(iq, jnp.ndarray) and not isinstance(iq, np.ndarray)                 and len(self.sample_backlog[0]) == 0                 and (iq.shape[1] - ra) % receiver.CHUNK == 0:
+            x = iq
+            n = iq.shape[1] - ra
+        else:
+            iq = np.asarray(iq, np.float32) * np.float32(
+                self.cfg.float_scale)
+            self.sample_backlog = np.concatenate(
+                [self.sample_backlog, iq], axis=1)
+            K = (self.sample_backlog.shape[1] - ra) // receiver.CHUNK
+            if K <= 0:
+                return [np.empty((0, TS_SIZE), np.uint8)] * self.nchan
+            n = K * receiver.CHUNK
+            x = jnp.asarray(self.sample_backlog[:, :n + ra])
+            self.sample_backlog = self.sample_backlog[:, n:]
 
         if self.use_pallas:
             self._planes, packed = self._rp.demod_pallas(
                 self.params, self._sym_consts, self._planes, x)
-            _, sym, valid = self._rp.unpack_outputs(packed, self.nchan)
+            word, _ = self._rp.pack_outputs(packed, self.nchan)
+            sym, valid = self._rp.unpack_sym3(word, n)
         else:
             self.state, out = receiver.run_chunks(
                 self.params, self.tables, self.state, x)

@@ -63,35 +63,42 @@ class MpegSync:
         chunk = RS_SIZE * self.scan_syncs
         shifted = bitshift_stream(data[:chunk + 1], self.bitphase)  # [chunk]
         grid = shifted.reshape(self.scan_syncs, RS_SIZE)            # [8,204]
-        for i in range(RS_SIZE):
-            col = grid[:, i]
-            pos = col == MPEG_SYNC
-            neg = col == MPEG_SYNC_INV
-            nsyncs_p = int(pos.sum())
-            nsyncs_n = int(neg.sum())
-            js_p = np.where(pos)[0]
-            js_n = np.where(neg)[0]
-            phase8_n = int((8 - js_p[-1]) & 7) if len(js_p) else -1
-            phase8_p = int((8 - js_n[-1]) & 7) if len(js_n) else -1
-            if nsyncs_p > nsyncs_n:
-                polarity, nsyncs, phase8 = 0, nsyncs_p, phase8_p
-            else:
-                polarity, nsyncs, phase8 = 0xFF, nsyncs_n, phase8_n
-            if nsyncs >= self.want_syncs and phase8 >= 0:
-                self.polarity = polarity
-                self.phase8 = phase8
-                consumed = i
-                if i == 0:
-                    # Avoid fixpoint detection in the scheduler
-                    # (dvb.h:826-829): skip one packet instead.
-                    consumed = RS_SIZE
-                    self.phase8 = (self.phase8 + 1) & 7
-                self.synchronized = True
-                self.lock_timeleft = self.lock_timeout
-                self.locktime = 0
-                self.lock_events.append(1)
-                return consumed
-        return None
+        # Vectorized over all 204 offsets (the reference's offset loop,
+        # dvb.h:809-838, with identical selection semantics).
+        pos = grid == MPEG_SYNC                                     # [8,204]
+        neg = grid == MPEG_SYNC_INV
+        nsyncs_p = pos.sum(axis=0)
+        nsyncs_n = neg.sum(axis=0)
+        j = np.arange(self.scan_syncs)[:, None]
+        last_p = np.where(pos, j, -1).max(axis=0)       # last j with 0x47
+        last_n = np.where(neg, j, -1).max(axis=0)
+        phase8_n = np.where(last_p >= 0, (8 - last_p) & 7, -1)
+        phase8_p = np.where(last_n >= 0, (8 - last_n) & 7, -1)
+        use_p = nsyncs_p > nsyncs_n
+        nsyncs = np.where(use_p, nsyncs_p, nsyncs_n)
+        phase8 = np.where(use_p, phase8_p, phase8_n)
+        ok = (nsyncs >= self.want_syncs) & (phase8 >= 0)
+        hits = np.nonzero(ok)[0]
+        if len(hits) == 0:
+            # The reference updates polarity/phase8 even on failed
+            # offsets; reproduce the final (offset 203) values.
+            self.polarity = 0 if use_p[-1] else 0xFF
+            self.phase8 = int(phase8[-1])
+            return None
+        i = int(hits[0])
+        self.polarity = 0 if use_p[i] else 0xFF
+        self.phase8 = int(phase8[i])
+        consumed = i
+        if i == 0:
+            # Avoid fixpoint detection in the scheduler (dvb.h:826-829):
+            # skip one packet instead.
+            consumed = RS_SIZE
+            self.phase8 = (self.phase8 + 1) & 7
+        self.synchronized = True
+        self.lock_timeleft = self.lock_timeout
+        self.locktime = 0
+        self.lock_events.append(1)
+        return consumed
 
     def _run_searching(self, data: np.ndarray) -> int:
         """Non-fastlock search (dvb.h:755-779). Returns bytes consumed."""
