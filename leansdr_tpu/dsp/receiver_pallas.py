@@ -389,14 +389,14 @@ def unpack_outputs(packed, C):
 def pack_outputs(packed: jnp.ndarray, nchan: int, want_cost: bool = False):
     nsamp = packed.shape[0]
     flat = packed.reshape(nsamp, -1)[:, :nchan]          # [nsamp, C]
-    # 8 samples x 3 bits per int32 word (8 divides every CHUNK multiple,
-    # so no trailing samples are lost across chunk boundaries).
+    # 8 samples x 4 bits (one nibble each: valid<<2 | symbol) per int32 —
+    # byte-aligned for a branch-free host unpack.
     n8 = nsamp // 8
     v3 = ((flat >> 24 & 1) << 2) | ((flat >> 16) & 3)
     v3 = v3.reshape(n8, 8, nchan)
     word = jnp.zeros((n8, nchan), jnp.int32)
     for k in range(8):
-        word = word | (v3[:, k] << (3 * k))
+        word = word | (v3[:, k] << (4 * k))
     if not want_cost:
         return word, None
     cost = flat & 0xFFFF                                 # -cost, 16 bits
@@ -406,13 +406,15 @@ def pack_outputs(packed: jnp.ndarray, nchan: int, want_cost: bool = False):
 
 
 def unpack_sym3(word: np.ndarray, nsamp: int):
-    """[n8, C] i32 -> (sym u8 [C, nsamp], valid bool [C, nsamp])."""
-    w = np.asarray(word)
+    """[n8, C] i32 (nibble-packed) -> (sym u8 [C, nsamp], valid bool)."""
+    w = np.ascontiguousarray(np.asarray(word).astype("<i4"))
     n8, C = w.shape
-    k = np.arange(8)
-    v3 = (w[:, None, :] >> (3 * k)[None, :, None]) & 7
-    v3 = v3.reshape(n8 * 8, C).T
-    return (v3 & 3).astype(np.uint8), (v3 >> 2).astype(bool)
+    b = w.view(np.uint8).reshape(n8, C, 4)   # byte k = samples 2k, 2k+1
+    v = np.empty((n8, C, 4, 2), np.uint8)
+    v[..., 0] = b & 0xF
+    v[..., 1] = b >> 4
+    v3 = v.reshape(n8, C, 8).transpose(1, 0, 2).reshape(C, n8 * 8)
+    return (v3 & 3), (v3 >> 2).astype(bool)
 
 
 def unpack_cost(cword: np.ndarray):

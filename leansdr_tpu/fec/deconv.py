@@ -275,3 +275,77 @@ def bytes_to_symbol_count(nbytes: int, rate: str) -> int:
     """Symbols consumed per `nbytes` output bytes once the window is full."""
     spec = deconv_spec(rate)
     return nbytes * 8 // spec.punctperiod * spec.punctweight // 2
+
+
+class BatchedDeconvolSync:
+    """Deconvolution for many channels in lockstep (SURVEY.md 2.10 P2/P6:
+    bit-parallelism and hypothesis-parallelism as batch axes).
+
+    All channels share one code rate; each round decodes a fixed block of
+    symbols per channel with ALL 4 sync hypotheses as a leading batch
+    axis — tap XORs are ~7 vectorized ops for the whole fleet instead of
+    per-channel loops. Election per block mirrors the fastlock rules
+    (fewest estimated errors; symbol slip when BER > 1/3).
+    """
+
+    BLOCK = 4096      # symbols per decode/election round (byte-aligned)
+
+    def __init__(self, rate: str, nchan: int, fastlock: bool = True,
+                 symmaps=None):
+        self.spec = deconv_spec(rate)
+        if self.spec.punctperiod != 1:
+            raise NotImplementedError("batched path: rate 1/2 only so far")
+        self.rate = rate
+        self.nchan = nchan
+        self.fastlock = fastlock
+        self.maps = sync_maps() if symmaps is None else symmaps
+        self.locked = np.zeros(nchan, np.int64)
+        self.backlogs = [np.empty(0, np.uint8) for _ in range(nchan)]
+        self.taps = _tap_positions(self.spec.deconv[0])
+        self.taps2 = _tap_positions(self.spec.deconv2[0])
+
+    def process(self, syms_list):
+        """syms_list: per-channel new symbols. Returns per-channel bytes."""
+        for c, s in enumerate(syms_list):
+            self.backlogs[c] = np.concatenate([self.backlogs[c], s])
+        out = [[] for _ in range(self.nchan)]
+        need = self.BLOCK + TRACEBACK // 2
+        while min(len(b) for b in self.backlogs) >= need:
+            block = np.stack([b[:need] for b in self.backlogs])  # [C, need]
+            by, skip = self._decode_block(block)
+            for c in range(self.nchan):
+                out[c].append(by[c])
+                drop = self.BLOCK + (1 if skip[c] else 0)
+                self.backlogs[c] = self.backlogs[c][drop:]
+        return [np.concatenate(o) if o else np.empty(0, np.uint8)
+                for o in out]
+
+    def _decode_block(self, symbols):
+        C, n = symbols.shape
+        iq2 = self.maps[:, symbols]               # [4, C, n]
+        bits = np.empty((4, C, 2 * n), np.uint8)
+        bits[:, :, 0::2] = (iq2 >> 1) & 1
+        bits[:, :, 1::2] = iq2 & 1
+        P = self.BLOCK
+        # Window-end bit index for period p is TRACEBACK + 2p; tap j reads
+        # bit (end-1-j) — an arithmetic sequence with stride 2, i.e. a
+        # strided VIEW (no gather copies).
+        dec = np.zeros((4, C, P), np.uint8)
+        err = np.zeros((4, C, P), np.uint8)
+        for j in self.taps:
+            lo = TRACEBACK - 1 - int(j)
+            dec ^= bits[:, :, lo: lo + 2 * P: 2]
+        for j in self.taps2:
+            lo = TRACEBACK - 1 - int(j)
+            err ^= bits[:, :, lo: lo + 2 * P: 2]
+        err ^= dec                                 # disagreement bits
+        errs = err.sum(axis=2)                     # [4, C]
+        if self.fastlock:
+            best = np.argmin(errs, axis=0)
+            self.locked = best
+        ch = np.arange(C)
+        sel = dec[self.locked, ch]                 # [C, P]
+        nbytes = P // 8
+        skip = (errs[self.locked, ch] > nbytes * 8 // 3) if self.fastlock \
+            else np.zeros(C, bool)
+        return np.packbits(sel, axis=1), skip

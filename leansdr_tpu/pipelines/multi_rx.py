@@ -21,12 +21,17 @@ from ..proto.framing import MpegSync
 
 class _ByteChain:
     """Per-channel byte-domain chain: deconv -> mpeg -> deinterleave ->
-    RS -> derandomize (same stages as DvbsReceiver._byte_stages)."""
+    RS -> derandomize (same stages as DvbsReceiver._byte_stages).
 
-    def __init__(self, rate: str, fastlock: bool):
-        self.deconv = _DeconvolSync(rate, fastlock)
-        self.mpeg = MpegSync(fastlock=fastlock,
-                             on_next_sync=self.deconv.next_sync)
+    When `deconv` is None the deconvolution happens centrally in the
+    batched path and feed() receives bytes directly."""
+
+    def __init__(self, rate: str, fastlock: bool, batched_deconv=False):
+        self.deconv = None if batched_deconv else _DeconvolSync(
+            rate, fastlock)
+        self.mpeg = MpegSync(
+            fastlock=fastlock,
+            on_next_sync=self.deconv.next_sync if self.deconv else None)
         self.byte_backlog = np.empty(0, np.uint8)
         self.mpegbyte_backlog = np.empty(0, np.uint8)
         self.derand_pos = 0
@@ -34,7 +39,7 @@ class _ByteChain:
         self.verrcount = 0
 
     def feed(self, syms: np.ndarray) -> np.ndarray:
-        bytes_out = self.deconv.process(syms)
+        bytes_out = self.deconv.process(syms) if self.deconv else syms
         if len(bytes_out):
             self.byte_backlog = np.concatenate(
                 [self.byte_backlog, bytes_out])
@@ -85,8 +90,16 @@ class MultiDvbsReceiver:
             self._sym_consts = rp.sym_constants(cstln)
             self._planes = rp.pack_state(self.state)
         rate = "4/6" if cfg.rate == "2/3" else cfg.rate
-        self.chains = [_ByteChain(rate, cfg.fastlock)
-                       for _ in range(nchan)]
+        # Rate 1/2 uses the channel-batched deconvolver (fastlock
+        # election batched over channels x sync hypotheses).
+        self.batched_deconv = None
+        if rate == "1/2" and cfg.fastlock:
+            from ..fec.deconv import BatchedDeconvolSync
+            self.batched_deconv = BatchedDeconvolSync(rate, nchan)
+        self.chains = [
+            _ByteChain(rate, cfg.fastlock,
+                       batched_deconv=self.batched_deconv is not None)
+            for _ in range(nchan)]
         self.sample_backlog = np.empty((nchan, 0, 2), np.float32)
 
     def process(self, iq):
@@ -123,7 +136,10 @@ class MultiDvbsReceiver:
                 self.params, self.tables, self.state, x)
             sym = np.asarray(out["symbol"])
             valid = np.asarray(out["valid"])
-        return [self.chains[c].feed(sym[c][valid[c]])
+        syms = [sym[c][valid[c]] for c in range(self.nchan)]
+        if self.batched_deconv is not None:
+            syms = self.batched_deconv.process(syms)
+        return [self.chains[c].feed(syms[c])
                 for c in range(self.nchan)]
 
     @property

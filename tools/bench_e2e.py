@@ -55,6 +55,8 @@ def main():
         "value": round(msps, 1),
         "unit": "Msamples/s aggregate (full chain)",
         "realtime_factor_vs_64x2.4Msps": round(msps / (64 * 2.4), 2),
+        "note": ("host glue incl. ~13MB/s tunnel fetches; device demod "
+                 "alone is ~5.3 GS/s — see bench.py"),
         "decoded_packets": decoded,
         "locks": sum(rx.locks),
     }))
