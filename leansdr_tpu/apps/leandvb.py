@@ -123,6 +123,11 @@ def parse_args(argv):
             cfg.constellation = consts[val()]
         elif a == "--cr":
             cfg.rate = val()
+            if cfg.rate not in ("1/2", "2/3", "3/4", "4/6", "5/6",
+                                "7/8", "4/5"):
+                print(f"** Error while processing '{cfg.rate}'",
+                      file=sys.stderr)
+                sys.exit(1)
         elif a == "--sampler":
             cfg.sampler = val()
         elif a == "--rrc-steps":

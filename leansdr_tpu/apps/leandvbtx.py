@@ -36,6 +36,11 @@ def main(argv=None):
             pass
         elif a == "--cr":
             cfg.rate = val()
+            if cfg.rate not in ("1/2", "2/3", "3/4", "4/6", "5/6",
+                                "7/8", "4/5"):
+                print(f"** Error while processing '{cfg.rate}'",
+                      file=sys.stderr)
+                return 1
         elif a == "--const":
             cfg.constellation = consts[val()]
         elif a == "-f":
