@@ -252,6 +252,13 @@ def main(argv=None):
     while True:
         raw = stdin.read(CHUNK_BYTES)
         if not raw:
+            if opts["loop"]:
+                # file_reader.loop: lseek to 0 on EOF (generic.h:59-63)
+                try:
+                    stdin.seek(0)
+                    continue
+                except OSError:
+                    break
             break
         nitems = len(raw) // itemsize * itemsize
         iq = read_iq(raw[:nitems], opts["input"])

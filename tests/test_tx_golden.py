@@ -31,3 +31,17 @@ def test_tx_iq_matches_reference(ref_apps, golden_dir, interp, rate):
     assert our_iq.shape == ref_iq.shape, (our_iq.shape, ref_iq.shape)
     assert np.allclose(our_iq, ref_iq, atol=2e-4), (
         np.abs(our_iq - ref_iq).max())
+
+
+def test_device_modulator_matches_host():
+    """The all-device jitted TX (MXU RS encode, shifted-lane convolution,
+    polyphase RRC) must match the host chain (itself golden vs the
+    reference binary) at float tolerance."""
+    from leansdr_tpu.pipelines.dvbs_tx_device import DeviceModulator
+    pkts = tsgen.generate(60)
+    host = dvbs_tx.modulate(pkts, dvbs_tx.TxConfig(rate="1/2", interp=2))
+    dev = DeviceModulator(rate="1/2", interp=2)
+    y = dev.modulate(pkts)
+    latency = (dev.ncoeffs + 2) // 2
+    seg = y[latency * 2: latency * 2 + len(host)]
+    assert np.abs(host - seg).max() < 1e-5
