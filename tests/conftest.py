@@ -4,6 +4,7 @@ Must set the environment before JAX initializes.
 """
 
 import os
+from pathlib import Path
 
 # The container's sitecustomize registers the experimental 'axon' TPU
 # plugin (tunnelled, single real chip) whenever PALLAS_AXON_POOL_IPS is
@@ -19,9 +20,12 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir",
+                  str(Path(__file__).resolve().parent.parent
+                      / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 import subprocess
-from pathlib import Path
 
 import numpy as np
 import pytest

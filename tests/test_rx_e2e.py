@@ -30,17 +30,19 @@ def _match_indices(pkts, ts):
 
 @pytest.mark.parametrize("rate", ["1/2", "3/4"])
 def test_loopback_decodes_contiguous_stream(rate):
-    pkts = tsgen.generate(400)
+    npk = 280
+    pkts = tsgen.generate(npk)
     iq = dvbs_tx.modulate(pkts, dvbs_tx.TxConfig(rate=rate, interp=2))
-    rx = DvbsReceiver(RxConfig(Fs=4e6, Fm=2e6, rate=rate, fastlock=True))
+    rx = DvbsReceiver(RxConfig(Fs=4e6, Fm=2e6, rate=rate, fastlock=True,
+                               float_scale=75.0))
     out = _decode_stream(rx, iq)
     assert rx.lock
     m = _match_indices(pkts, out)
     good = m >= 0
-    assert good.sum() >= 300, f"only {good.sum()} packets decoded"
+    assert good.sum() >= 180, f"only {good.sum()} packets decoded"
     idx = m[good]
     # Contiguous run ending at the last generated packet.
-    assert idx[-1] == 399 - 12  # interleaver + deconv keep the tail queued
+    assert idx[-1] == npk - 1 - 12  # interleaver+deconv keep tail queued
     assert (np.diff(idx) == 1).all()
 
 
@@ -49,7 +51,7 @@ def test_rx_steady_state_matches_leandvb(ref_apps, rate):
     """Above lock, our TS byte stream must equal the reference's exactly:
     both decoders' packet sequences agree on every packet index both
     emitted (BASELINE.json: 'TS output bit-exact ... above threshold')."""
-    pkts = tsgen.generate(400)
+    pkts = tsgen.generate(320)
     iq = dvbs_tx.modulate(pkts, dvbs_tx.TxConfig(rate=rate, interp=2))
 
     raw = write_iq(iq, "f32")
@@ -67,7 +69,7 @@ def test_rx_steady_state_matches_leandvb(ref_apps, rate):
     ours_set = set(m_ours[m_ours >= 0].tolist())
     ref_set = set(m_ref[m_ref >= 0].tolist())
     common = ours_set & ref_set
-    assert len(common) >= 250, (len(ours_set), len(ref_set))
+    assert len(common) >= 180, (len(ours_set), len(ref_set))
     # Decoded packets are bit-exact by construction of the match; also
     # require we recover at least 90% of what the reference recovers.
     assert len(ours_set) >= 0.9 * len(ref_set), (len(ours_set), len(ref_set))
@@ -80,7 +82,7 @@ def test_coarse_carrier_acquisition_beyond_pll_range():
     from leansdr_tpu.dsp.acquisition import coarse_carrier_estimate
     from leansdr_tpu.dsp.blocks import Rotator
 
-    pkts = tsgen.generate(300)
+    pkts = tsgen.generate(160)
     iq = dvbs_tx.modulate(pkts, dvbs_tx.TxConfig(rate="1/2", interp=2))
     # Shift by 3% of Fs — far beyond the +-SR/8 clamp.
     offset = 0.03
@@ -95,15 +97,16 @@ def test_coarse_carrier_acquisition_beyond_pll_range():
                                Ftune=est * 4e6))
     out = _decode_stream(rx, x)
     m = _match_indices(pkts, out)
-    assert (m >= 0).sum() >= 150
+    assert (m >= 0).sum() >= 80
 
 
 def test_checkpoint_resume_exact():
     """Serializing mid-stream and resuming in a NEW receiver must produce
     exactly the TS packets of an uninterrupted run (SURVEY.md 5.4)."""
-    pkts = tsgen.generate(260)
+    pkts = tsgen.generate(160)
     iq = dvbs_tx.modulate(pkts, dvbs_tx.TxConfig(rate="1/2", interp=2))
-    cfg = RxConfig(Fs=4e6, Fm=2e6, rate="1/2", fastlock=True)
+    cfg = RxConfig(Fs=4e6, Fm=2e6, rate="1/2", fastlock=True,
+                   float_scale=75.0)
 
     rx_ref = DvbsReceiver(cfg)
     full = _decode_stream(rx_ref, iq, chunk=1 << 16)
