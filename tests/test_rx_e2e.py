@@ -122,3 +122,15 @@ def test_checkpoint_resume_exact():
 
     resumed = np.concatenate([out_a, out_b])
     np.testing.assert_array_equal(resumed, full)
+
+
+def test_viterbi_path_decodes():
+    """--viterbi end to end: trellis ACS (device path) + sync election
+    through the full chain."""
+    pkts = tsgen.generate(150)
+    iq = dvbs_tx.modulate(pkts, dvbs_tx.TxConfig(rate="1/2", interp=2))
+    rx = DvbsReceiver(RxConfig(Fs=4e6, Fm=2e6, rate="1/2", viterbi=True,
+                               fastlock=True, float_scale=75.0))
+    out = _decode_stream(rx, iq)
+    m = _match_indices(pkts, out)
+    assert (m >= 0).sum() >= 80, (m >= 0).sum()
