@@ -288,64 +288,75 @@ class BatchedDeconvolSync:
     (fewest estimated errors; symbol slip when BER > 1/3).
     """
 
-    BLOCK = 4096      # symbols per decode/election round (byte-aligned)
-
     def __init__(self, rate: str, nchan: int, fastlock: bool = True,
                  symmaps=None):
         self.spec = deconv_spec(rate)
-        if self.spec.punctperiod != 1:
-            raise NotImplementedError("batched path: rate 1/2 only so far")
+        pp = self.spec.punctperiod
+        # Periods per round: byte-aligned (pp bits/period) and ~4096
+        # symbols of election cadence like the reference's BUF_SYMBOLS.
+        align = int(np.lcm(8, pp)) // pp
+        self.PERIODS = max(1, (4096 * 2 // self.spec.punctweight)
+                           // align) * align
         self.rate = rate
         self.nchan = nchan
         self.fastlock = fastlock
         self.maps = sync_maps() if symmaps is None else symmaps
         self.locked = np.zeros(nchan, np.int64)
         self.backlogs = [np.empty(0, np.uint8) for _ in range(nchan)]
-        self.taps = _tap_positions(self.spec.deconv[0])
-        self.taps2 = _tap_positions(self.spec.deconv2[0])
+        self.taps = [_tap_positions(d) for d in self.spec.deconv]
+        self.taps2 = [_tap_positions(d) for d in self.spec.deconv2]
+
+    @property
+    def consumed_symbols(self):
+        return self.PERIODS * self.spec.punctweight // 2
 
     def process(self, syms_list):
         """syms_list: per-channel new symbols. Returns per-channel bytes."""
         for c, s in enumerate(syms_list):
             self.backlogs[c] = np.concatenate([self.backlogs[c], s])
         out = [[] for _ in range(self.nchan)]
-        need = self.BLOCK + TRACEBACK // 2
+        need = self.consumed_symbols + TRACEBACK // 2
         while min(len(b) for b in self.backlogs) >= need:
             block = np.stack([b[:need] for b in self.backlogs])  # [C, need]
             by, skip = self._decode_block(block)
             for c in range(self.nchan):
                 out[c].append(by[c])
-                drop = self.BLOCK + (1 if skip[c] else 0)
+                drop = self.consumed_symbols + (1 if skip[c] else 0)
                 self.backlogs[c] = self.backlogs[c][drop:]
         return [np.concatenate(o) if o else np.empty(0, np.uint8)
                 for o in out]
 
     def _decode_block(self, symbols):
         C, n = symbols.shape
+        pp = self.spec.punctperiod
+        pw = self.spec.punctweight
         iq2 = self.maps[:, symbols]               # [4, C, n]
         bits = np.empty((4, C, 2 * n), np.uint8)
         bits[:, :, 0::2] = (iq2 >> 1) & 1
         bits[:, :, 1::2] = iq2 & 1
-        P = self.BLOCK
-        # Window-end bit index for period p is TRACEBACK + 2p; tap j reads
-        # bit (end-1-j) — an arithmetic sequence with stride 2, i.e. a
-        # strided VIEW (no gather copies).
-        dec = np.zeros((4, C, P), np.uint8)
-        err = np.zeros((4, C, P), np.uint8)
-        for j in self.taps:
-            lo = TRACEBACK - 1 - int(j)
-            dec ^= bits[:, :, lo: lo + 2 * P: 2]
-        for j in self.taps2:
-            lo = TRACEBACK - 1 - int(j)
-            err ^= bits[:, :, lo: lo + 2 * P: 2]
+        P = self.PERIODS
+        # Window-end bit index for period p is TRACEBACK + p*punctweight;
+        # tap j of poly b reads bit (end-1-j) — an arithmetic sequence
+        # with stride punctweight, i.e. a strided VIEW (no gather copies).
+        # Emission order within a period: b = punctperiod-1 .. 0
+        # (dvb.h:379-382).
+        dec = np.zeros((4, C, P, pp), np.uint8)
+        err = np.zeros((4, C, P, pp), np.uint8)
+        for b in range(pp):
+            for j in self.taps[b]:
+                lo = TRACEBACK - 1 - int(j)
+                dec[:, :, :, pp - 1 - b] ^= bits[:, :, lo: lo + pw * P: pw]
+            for j in self.taps2[b]:
+                lo = TRACEBACK - 1 - int(j)
+                err[:, :, :, pp - 1 - b] ^= bits[:, :, lo: lo + pw * P: pw]
         err ^= dec                                 # disagreement bits
-        errs = err.sum(axis=2)                     # [4, C]
+        errs = err.sum(axis=(2, 3))                # [4, C]
         if self.fastlock:
             best = np.argmin(errs, axis=0)
             self.locked = best
         ch = np.arange(C)
-        sel = dec[self.locked, ch]                 # [C, P]
-        nbytes = P // 8
+        sel = dec[self.locked, ch].reshape(C, P * pp)
+        nbytes = P * pp // 8
         skip = (errs[self.locked, ch] > nbytes * 8 // 3) if self.fastlock \
             else np.zeros(C, bool)
         return np.packbits(sel, axis=1), skip

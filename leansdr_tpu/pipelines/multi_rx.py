@@ -90,10 +90,10 @@ class MultiDvbsReceiver:
             self._sym_consts = rp.sym_constants(cstln)
             self._planes = rp.pack_state(self.state)
         rate = "4/6" if cfg.rate == "2/3" else cfg.rate
-        # Rate 1/2 uses the channel-batched deconvolver (fastlock
-        # election batched over channels x sync hypotheses).
+        # Channel-batched deconvolver (fastlock election batched over
+        # channels x sync hypotheses), all punctured rates.
         self.batched_deconv = None
-        if rate == "1/2" and cfg.fastlock:
+        if cfg.fastlock and not cfg.viterbi:
             from ..fec.deconv import BatchedDeconvolSync
             self.batched_deconv = BatchedDeconvolSync(rate, nchan)
         self.chains = [

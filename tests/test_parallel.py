@@ -14,12 +14,12 @@ from leansdr_tpu.pipelines.dvbs_rx import RxConfig
 from leansdr_tpu.pipelines.multi_rx import MultiDvbsReceiver
 
 
-def _stimulus(nchan, npackets=150, seed0=0):
+def _stimulus(nchan, npackets=150, seed0=0, rate="1/2"):
     """Independent DVB-S signals per channel (different payloads)."""
     iqs, payloads = [], []
     for c in range(nchan):
         pkts = tsgen.generate(npackets, start=seed0 + 1000 * c)
-        iq = dvbs_tx.modulate(pkts, dvbs_tx.TxConfig(rate="1/2", interp=2))
+        iq = dvbs_tx.modulate(pkts, dvbs_tx.TxConfig(rate=rate, interp=2))
         iqs.append(iq)
         payloads.append(pkts)
     n = min(len(q) for q in iqs)
@@ -122,3 +122,24 @@ def test_candidate_scan_elects_true_config():
     hits = sum(1 for o in rx.outputs[2]
                if (pkts == o).all(axis=1).any())
     assert hits >= 50
+
+
+@pytest.mark.parametrize("rate", ["3/4", "7/8"])
+def test_multi_channel_punctured_rates(rate):
+    """The batched deconvolver must handle punctured rates (multiple
+    deconvolution polynomials per puncturing period)."""
+    from leansdr_tpu.pipelines.multi_rx import MultiDvbsReceiver
+    nchan = 2
+    x, payloads = _stimulus(nchan, npackets=260, rate=rate)
+    rx = MultiDvbsReceiver(
+        RxConfig(Fs=4e6, Fm=2e6, rate=rate, fastlock=True,
+                 float_scale=75.0, exact_lut=False),
+        nchan, use_pallas=False)
+    outs = [np.empty((0, 188), np.uint8)] * nchan
+    for i in range(0, x.shape[1], 1 << 16):
+        res = rx.process(x[:, i:i + (1 << 16)])
+        outs = [np.concatenate([a, b]) for a, b in zip(outs, res)]
+    for c in range(nchan):
+        hits = sum(1 for o in outs[c]
+                   if (payloads[c] == o).all(axis=1).any())
+        assert hits >= 60, f"channel {c}: {hits} of {len(outs[c])}"
