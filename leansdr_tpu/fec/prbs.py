@@ -75,21 +75,30 @@ def derandomize_scan(packets: jnp.ndarray, pos0: jnp.ndarray):
 
 
 def derandomize_np(packets: np.ndarray, pos: int = 0):
-    """NumPy reference implementation (for tests and host-side use).
+    """Vectorized host derandomizer (dvb.h:1130-1157).
 
-    Returns (kept_packets [k,188], good_mask [n], next_pos). Bad packets are
-    dropped after setting TEI, mirroring dvb.h:1146-1156.
+    Returns (out_packets [n,188], good_mask [n], next_pos). Bad packets
+    get the TEI bit set, mirroring dvb.h:1146-1156; the caller drops them
+    via the mask.
+
+    The sequential position recurrence (reset to 0 on inverted sync,
+    else +1 mod 8) vectorizes as distance-to-last-resync: pos[i] =
+    (i - last_resync_at_or_before_i) %% 8, falling back to the carried-in
+    phase before the first resync.
     """
+    packets = np.atleast_2d(packets)
+    n = packets.shape[0]
+    if n == 0:
+        return packets.copy(), np.zeros(0, bool), pos
     pat = prbs_pattern().reshape(8, 188)
-    out = np.empty_like(packets)
-    good = np.zeros(packets.shape[0], dtype=bool)
-    for i, pkt in enumerate(packets):
-        if pkt[0] in (MPEG_SYNC_INV, MPEG_SYNC_INV ^ MPEG_SYNC_CORRUPTED):
-            pos = 0
-        out[i] = pkt ^ pat[pos]
-        pos = (pos + 1) % 8
-        if out[i, 0] == MPEG_SYNC:
-            good[i] = True
-        else:
-            out[i, 1] |= 0x80  # Transport Error Indicator
-    return out, good, pos
+    sync_in = packets[:, 0]
+    resync = (sync_in == MPEG_SYNC_INV) | (
+        sync_in == (MPEG_SYNC_INV ^ MPEG_SYNC_CORRUPTED))
+    idx = np.arange(n)
+    last = np.maximum.accumulate(np.where(resync, idx, -1))
+    positions = np.where(last >= 0, (idx - last) % 8, (pos + idx) % 8)
+    out = packets ^ pat[positions]
+    good = out[:, 0] == MPEG_SYNC
+    out[~good, 1] |= 0x80  # Transport Error Indicator
+    next_pos = int((positions[-1] + 1) % 8)
+    return out, good, next_pos

@@ -143,29 +143,47 @@ class MpegSync:
 
     def _run_decoding(self, data: np.ndarray):
         """Emit aligned packets until data runs out or we unlock
-        (dvb.h:842-874). Returns (packets [n,204], consumed)."""
-        out = []
-        consumed = 0
-        while len(data) - consumed >= RS_SIZE + 1:
-            seg = data[consumed:consumed + RS_SIZE + 1]
-            pkt = bitshift_stream(seg, self.bitphase) ^ self.polarity
-            consumed += RS_SIZE
-            out.append(pkt)
-            self.locktime += 1
-            self.locktime_out.append(self.locktime)
-            expected = MPEG_SYNC if self.phase8 else MPEG_SYNC_INV
-            if pkt[0] == expected:
-                self.lock_timeleft = self.lock_timeout
-            self.phase8 = (self.phase8 + 1) & 7
-            self.lock_timeleft -= 1
-            if not self.lock_timeleft:
-                self.synchronized = False
-                self.next_sync_count = 0
-                self.lock_events.append(0)
-                break
-        pkts = (np.stack(out) if out
-                else np.empty((0, RS_SIZE), np.uint8))
-        return pkts, consumed
+        (dvb.h:842-874). Returns (packets [n,204], consumed).
+
+        Vectorized over the whole block (SURVEY.md 2.10 P2): all packets
+        are shifted/polarity-fixed at once; the per-packet lock-timeout
+        FSM reduces to finding the first run of `lock_timeout` bad sync
+        bytes (with the incoming `lock_timeleft` as carried-in bad
+        credit), identical to the reference's sequential loop.
+        """
+        n_all = (len(data) - 1) // RS_SIZE
+        if n_all <= 0:
+            return np.empty((0, RS_SIZE), np.uint8), 0
+        seg = data[:n_all * RS_SIZE + 1]
+        pkts = (bitshift_stream(seg, self.bitphase) ^ self.polarity
+                ).reshape(n_all, RS_SIZE)
+        phase8 = (self.phase8 + np.arange(n_all)) & 7
+        expected = np.where(phase8 != 0, MPEG_SYNC, MPEG_SYNC_INV)
+        good = pkts[:, 0] == expected
+        # timeleft recurrence t_i = (timeout if good_i else t_{i-1}) - 1,
+        # carried in as t0, closed-form via last-good index g_i:
+        #   t_i = timeout - 1 - (i - g_i)   if any good at g_i <= i
+        #   t_i = t0 - (i + 1)              before the first good
+        # Unlock at the first i with t_i == 0 (that packet is emitted).
+        t0 = self.lock_timeleft
+        idx = np.arange(n_all)
+        g = np.maximum.accumulate(np.where(good, idx, -1))
+        t_after = np.where(g >= 0, self.lock_timeout - 1 - (idx - g),
+                           t0 - (idx + 1))
+        hits = np.nonzero(t_after <= 0)[0]
+        unlock = len(hits) > 0
+        n_emit = int(hits[0]) + 1 if unlock else n_all
+        pkts = pkts[:n_emit]
+        self.locktime_out.extend(
+            range(self.locktime + 1, self.locktime + n_emit + 1))
+        self.locktime += n_emit
+        self.phase8 = int((self.phase8 + n_emit) & 7)
+        if unlock:
+            self.synchronized = False
+            self.next_sync_count = 0
+            self.lock_events.append(0)
+        self.lock_timeleft = int(t_after[n_emit - 1])
+        return pkts, n_emit * RS_SIZE
 
     def process(self, data: np.ndarray):
         """Feed a byte backlog; returns (packets [n,204], consumed bytes).
