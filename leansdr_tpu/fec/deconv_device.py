@@ -1,0 +1,305 @@
+"""Device-resident algebraic deconvolution: the full symbol->byte front of
+the DVB-S byte domain as one fused XLA computation per chunk.
+
+Re-designs deconvol_sync (reference dvb.h:122-476) TPU-first:
+
+* The per-bit shift-register XORs become ONE int8 convolution on the MXU:
+  output bit (period p, poly b) is the GF(2) inner product of a 64-bit
+  window of the IQ bit stream with the deconvolution polynomial, so the
+  whole decode is `lax.conv_general_dilated` with stride 2 (one output
+  column per SYMBOL offset) and `2*punctperiod` output features (primary +
+  alternate polynomials), followed by `& 1`.
+
+* The reference's sequential resync state machine (rotate sync, slip one
+  symbol when BER > 1/3, dvb.h:185-193/424-436) becomes hypothesis
+  parallelism: all 4 (rotation, conjugation) sync maps AND all
+  `punctweight/2` symbol alignments decode simultaneously — the stride-2
+  convolution already produces every alignment — and an argmin election
+  per ~4096-symbol sub-block picks the stream to emit, mirroring the
+  fastlock election cadence (BUF_SYMBOLS, leandvb.cc:190).  A slip is
+  just a different elected alignment; no data-dependent control flow.
+
+* Symbol streams stay on device: demodulator output (valid-masked
+  symbols) is compacted into a per-channel ring buffer by a cumsum +
+  scatter, and only decoded BYTES cross the host link (~16x smaller than
+  the raw demod output).
+
+Streams are [time, channel] so channels ride the vector lanes.
+"""
+
+from dataclasses import dataclass
+from functools import lru_cache, partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .deconv import (TRACEBACK, deconv_spec, sync_maps)
+
+__all__ = ["DeconvPlan", "DeviceDeconvolver"]
+
+
+@dataclass(frozen=True)
+class DeconvPlan:
+    """Static geometry for one (rate, nchan, chunk) configuration."""
+    rate: str
+    nchan: int
+    nsamp: int              # demod samples appended per call
+    P_sub: int              # periods per election sub-block
+    E: int                  # sub-blocks decoded per decode() call
+    cap: int                # symbol ring capacity
+    fastlock: bool
+    store_costs: bool
+
+    @property
+    def spec(self):
+        return deconv_spec(self.rate)
+
+    @property
+    def A(self) -> int:     # symbol-alignment hypotheses per sync
+        return self.spec.punctweight // 2
+
+    @property
+    def nhyp(self) -> int:
+        return 4 * self.A
+
+    @property
+    def P_call(self) -> int:
+        return self.E * self.P_sub
+
+    @property
+    def consumed(self) -> int:          # symbols consumed per decode()
+        return self.P_call * self.spec.punctweight // 2
+
+    @property
+    def needed(self) -> int:            # symbols required before decode()
+        return (self.consumed - self.spec.punctweight // 2
+                + (self.A - 1) + TRACEBACK // 2)
+
+    @property
+    def nbytes(self) -> int:            # bytes emitted per decode()
+        return self.P_call * self.spec.punctperiod // 8
+
+    @property
+    def bytes_per_subblock(self) -> int:
+        return self.P_sub * self.spec.punctperiod // 8
+
+
+def make_plan(rate: str, nchan: int, nsamp: int, omega: float,
+              fastlock: bool = True, store_costs: bool = False,
+              sub_symbols: int = 4096) -> DeconvPlan:
+    """Size the decode call to just under the expected symbol production
+    (nsamp/omega per call) so the ring stays near its working level; the
+    host drains/pauses on the fill watermark it gets back with each call."""
+    spec = deconv_spec(rate)
+    pw = spec.punctweight
+    # periods per sub-block: ~sub_symbols symbols, multiple of 8 so every
+    # sub-block is byte-aligned (P_sub * pp % 8 == 0).
+    P_sub = max(8, int(sub_symbols * 2 / pw) // 8 * 8)
+    prod = int(nsamp / omega)
+    E = max(1, prod // (P_sub * pw // 2))
+    plan = DeconvPlan(rate, nchan, nsamp, P_sub, E, 0, fastlock,
+                      store_costs)
+    cap = plan.needed + prod + 8192
+    return DeconvPlan(rate, nchan, nsamp, P_sub, E, cap, fastlock,
+                      store_costs)
+
+
+@lru_cache(maxsize=None)
+def _deconv_kernel(rate: str) -> np.ndarray:
+    """[TRACEBACK, 1, 2*pp] int8 convolution kernel.
+
+    Output feature o < pp is primary polynomial deconv[pp-1-o] (so output
+    columns are already in the reference's emission order, dvb.h:379-382);
+    features pp..2pp-1 are the alternates in the same order.  Kernel tap w
+    multiplies window bit w = stream bit (2t + w); the window formulation
+    reads bit e-1-j for tap j with e = 2t + TRACEBACK, hence
+    kernel[w] = poly bit (TRACEBACK-1-w).
+    """
+    spec = deconv_spec(rate)
+    pp = spec.punctperiod
+    k = np.zeros((TRACEBACK, 1, 2 * pp), np.int8)
+    for o in range(pp):
+        for name, off in (("deconv", 0), ("deconv2", pp)):
+            poly = getattr(spec, name)[pp - 1 - o]
+            for w in range(TRACEBACK):
+                k[w, 0, o + off] = (poly >> (TRACEBACK - 1 - w)) & 1
+    return k
+
+
+def _sym_to_iq_bits(sym: jnp.ndarray) -> jnp.ndarray:
+    """[S, C] u8 symbols -> [4, 2S, C] u8 IQ bits for the 4 sync maps.
+
+    Table lookups are arithmetic selects (no gathers on the hot path).
+    """
+    maps = sync_maps()                         # [4, 4] uint8
+    outs = []
+    for s in range(4):
+        iq2 = jnp.zeros(sym.shape, jnp.uint8)
+        for v in range(4):
+            iq2 = jnp.where(sym == v, np.uint8(maps[s, v]), iq2)
+        i_bit = (iq2 >> 1) & 1
+        q_bit = iq2 & 1
+        bits = jnp.stack([i_bit, q_bit], axis=1)     # [S, 2, C]
+        outs.append(bits.reshape(sym.shape[0] * 2, sym.shape[1]))
+    return jnp.stack(outs, axis=0)
+
+
+@partial(jax.jit, static_argnames=("plan",))
+def deconv_append(plan: DeconvPlan, state, sym, valid, cost=None):
+    """Compact new demod output into the ring.
+
+    sym/valid: [nsamp, C]; cost (optional): [nsamp, C] i16.
+    Stream compaction is a per-lane cumsum + scatter: invalid samples
+    scatter into the (sliced-away) pad region at unique indices.
+    """
+    n, C = sym.shape
+    fill = state["fill"]                                   # [C] i32
+    csum = jnp.cumsum(valid.astype(jnp.int32), axis=0)     # [n, C]
+    nvalid = csum[-1]
+    rows_ok = fill[None, :] + csum - 1
+    t = jnp.arange(n, dtype=jnp.int32)[:, None]
+    rows_trash = plan.cap + (t - csum)
+    rows = jnp.where(valid, rows_ok, rows_trash)
+    cols = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[None, :],
+                            (n, C))
+    buf = jnp.concatenate(
+        [state["buf"], jnp.zeros((n, C), jnp.uint8)], axis=0)
+    buf = buf.at[rows, cols].set(sym.astype(jnp.uint8), mode="drop",
+                                 unique_indices=True)[:plan.cap]
+    out = dict(state, buf=buf,
+               fill=jnp.minimum(fill + nvalid, plan.cap + n))
+    if plan.store_costs:
+        cbuf = jnp.concatenate(
+            [state["cost"], jnp.zeros((n, C), jnp.int16)], axis=0)
+        out["cost"] = cbuf.at[rows, cols].set(
+            cost.astype(jnp.int16), mode="drop",
+            unique_indices=True)[:plan.cap]
+    return out
+
+
+@partial(jax.jit, static_argnames=("plan",))
+def deconv_decode(plan: DeconvPlan, state):
+    """Decode plan.consumed symbols from the ring front.
+
+    Returns (new_state, bytes [C, nbytes] u8, errs [C, E] i32 for the
+    elected hypothesis, underflow [C] bool).
+    """
+    spec = plan.spec
+    pp, pw, A, E, P_sub = (spec.punctperiod, spec.punctweight, plan.A,
+                           plan.E, plan.P_sub)
+    C = plan.nchan
+    P = plan.P_call
+    S_need = plan.needed
+    S_call = plan.consumed
+
+    underflow = state["fill"] < S_need
+
+    win = state["buf"][:S_need]                      # [S_need, C]
+    bits = _sym_to_iq_bits(win)                      # [4, 2*S_need, C]
+    lhs = bits.transpose(0, 2, 1).reshape(4 * C, 2 * S_need, 1
+                                          ).astype(jnp.int8)
+    rhs = jnp.asarray(_deconv_kernel(plan.rate))     # [TB, 1, 2pp]
+    dn = lax.conv_dimension_numbers(lhs.shape, rhs.shape,
+                                    ("NWC", "WIO", "NWC"))
+    out = lax.conv_general_dilated(
+        lhs, rhs, window_strides=(2,), padding="VALID",
+        dimension_numbers=dn,
+        preferred_element_type=jnp.int32)            # [4C, T, 2pp]
+    out = (out & 1).astype(jnp.uint8)[:, :P * A]
+    out = out.reshape(4, C, E, P_sub, A, 2 * pp)
+    dec = out[..., :pp]
+    alt = out[..., pp:]
+    disagree = dec ^ alt
+    errs = jnp.sum(disagree, axis=(3, 5), dtype=jnp.int32)  # [4, C, E, A]
+
+    errs_h = errs.transpose(1, 2, 0, 3).reshape(C, E, 4 * A)
+    if plan.fastlock:
+        elected = jnp.argmin(errs_h, axis=2)                # [C, E]
+        locked = elected[:, -1].astype(jnp.int32)
+    else:
+        locked = state["locked"]
+        elected = jnp.broadcast_to(locked[:, None], (C, E))
+    dec_h = dec.transpose(1, 2, 0, 4, 3, 5).reshape(
+        C, E, 4 * A, P_sub * pp)
+    sel = jnp.take_along_axis(dec_h, elected[:, :, None, None],
+                              axis=2)[:, :, 0]             # [C, E, P_sub*pp]
+    errs_sel = jnp.take_along_axis(errs_h, elected[:, :, None],
+                                   axis=2)[:, :, 0]        # [C, E]
+    stream = sel.reshape(C, P * pp // 8, 8)
+    weights = jnp.asarray((1 << np.arange(7, -1, -1)).astype(np.uint8))
+    by = jnp.sum(stream * weights, axis=2, dtype=jnp.int32
+                 ).astype(jnp.uint8)                       # [C, nbytes]
+
+    buf = jnp.concatenate(
+        [state["buf"][S_call:], jnp.zeros((S_call, C), jnp.uint8)], axis=0)
+    new = dict(state, buf=buf,
+               fill=jnp.maximum(state["fill"] - S_call, 0),
+               locked=locked)
+    if plan.store_costs:
+        new["cost"] = jnp.concatenate(
+            [state["cost"][S_call:], jnp.zeros((S_call, C), jnp.int16)],
+            axis=0)
+    return new, by, errs_sel, underflow
+
+
+class DeviceDeconvolver:
+    """Stateful wrapper: symbol compaction ring + all-hypothesis decode.
+
+    Usage per chunk (all device-side, no host sync needed between calls):
+        dd.append(sym, valid)              # [nsamp, C] demod output
+        while dd.can_decode():             # host-side fill estimate
+            bytes_d, errs_d, under_d = dd.decode()
+    `bytes_d` etc. are device arrays; fetch them together with the fill
+    watermark in one host sync.
+    """
+
+    def __init__(self, rate: str, nchan: int, nsamp: int, omega: float,
+                 fastlock: bool = True, store_costs: bool = False,
+                 sub_symbols: int = 4096):
+        self.plan = make_plan(rate, nchan, nsamp, omega, fastlock,
+                              store_costs, sub_symbols)
+        C = nchan
+        self.state = {
+            "buf": jnp.zeros((self.plan.cap, C), jnp.uint8),
+            "fill": jnp.zeros(C, jnp.int32),
+            "locked": jnp.zeros(C, jnp.int32),
+        }
+        if store_costs:
+            self.state["cost"] = jnp.zeros((self.plan.cap, C), jnp.int16)
+        # Host-side conservative fill estimate (min over channels); the
+        # true fill comes back with each decode fetch.
+        self._est_fill = 0
+
+    def append(self, sym, valid, cost=None):
+        self.state = deconv_append(self.plan, self.state, sym, valid,
+                                   cost)
+
+    def note_production(self, nsyms_min: int):
+        """Host bookkeeping: at least `nsyms_min` symbols were produced
+        per channel by the last append (conservative lower bound)."""
+        self._est_fill += nsyms_min
+
+    def sync_fill(self, fill: np.ndarray):
+        """Replace the host estimate with fetched truth (min lane)."""
+        self._est_fill = int(fill.min())
+
+    def can_decode(self) -> bool:
+        return self._est_fill >= self.plan.needed
+
+    def decode(self):
+        self.state, by, errs, under = deconv_decode(self.plan, self.state)
+        self._est_fill -= self.plan.consumed
+        return by, errs, under
+
+    def next_sync(self, channel: int):
+        """Non-fastlock resync feedback from mpeg_sync (dvb.h:185-193):
+        rotate the sync map; after all 4, slip one symbol alignment."""
+        locked = np.asarray(self.state["locked"]).copy()
+        s, a = divmod(int(locked[channel]), self.plan.A)
+        s = (s + 1) % 4
+        if s == 0:
+            a = (a + 1) % self.plan.A
+        locked[channel] = s * self.plan.A + a
+        self.state = dict(self.state, locked=jnp.asarray(locked))
