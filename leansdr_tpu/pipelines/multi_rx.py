@@ -1,11 +1,23 @@
-"""Multi-channel DVB-S receiver: many independent carriers demodulated in
-one device batch (the 64 x 2 Msps north-star shape, BASELINE.json).
+"""Multi-channel DVB-S receiver: many independent carriers demodulated and
+deconvolved in one device batch (the 64 x 2 Msps north-star shape,
+BASELINE.json).
 
-The demodulator runs once for all channels — channels ride the vector
-lanes of the scan/Pallas kernel — while the byte-domain FSM chains
-(deconvolution, framing, RS, derandomizer) run per channel on the host at
-packet rate. On a mesh, channels shard across devices
-(parallel/mesh.py); this class is the single-host building block.
+Chain layout per chunk (one host sync per chunk):
+
+  device: demod (Pallas kernel / XLA scan, channels on lanes)
+          -> symbol compaction ring (cumsum+scatter)
+          -> all-hypothesis deconvolution (MXU GF(2) convolution,
+             sync x alignment election per ~4k-symbol sub-block)
+          -> bit-packed byte streams [C, nbytes]
+  host:   MPEG framing FSM (vectorized block decode, proto/framing.py)
+          -> deinterleave (strided gather per channel)
+          -> ONE batched RS(204,188) decode across all channels' packets
+          -> vectorized derandomizer
+
+Only decoded bytes cross the host link (~16x less than raw demod output);
+fill watermarks/underflow flags ride in the same fetch. On a mesh,
+channels shard across devices (parallel/mesh.py); this class is the
+single-host building block.
 """
 
 import numpy as np
@@ -13,20 +25,38 @@ import jax
 import jax.numpy as jnp
 
 from ..dsp import receiver
-from .dvbs_rx import RxConfig, _DeconvolSync, TS_SIZE, RS_SIZE
+from .dvbs_rx import RxConfig, TS_SIZE, RS_SIZE
 from ..dsp.cstln import make_dvbs2_constellation
 from ..fec import interleave, prbs, rs
+from ..fec.deconv_device import DeviceDeconvolver
 from ..proto.framing import MpegSync
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("nchan", "want_cost"))
+def _extract_sym_valid(packed: jnp.ndarray, nchan: int,
+                       want_cost: bool = False):
+    """Pallas kernel output [nsamp, nsub, LANE] i32 -> ([nsamp, C] u8 sym,
+    [nsamp, C] bool valid, [nsamp, C] i16 cost or None), fused on device."""
+    nsamp = packed.shape[0]
+    flat = packed.reshape(nsamp, -1)[:, :nchan]
+    sym = ((flat >> 16) & 0xFF).astype(jnp.uint8)
+    valid = ((flat >> 24) & 1).astype(bool)
+    cost = (-(flat & 0xFFFF)).astype(jnp.int16) if want_cost else None
+    return sym, valid, cost
 
 
 class _ByteChain:
-    """Per-channel byte-domain chain: deconv -> mpeg -> deinterleave ->
-    RS -> derandomize (same stages as DvbsReceiver._byte_stages).
+    """Per-channel host byte-domain chain: deconv -> mpeg -> deinterleave
+    -> RS -> derandomize (same stages as DvbsReceiver._byte_stages).
+    Used by the candidate-scan receiver (pipelines/scan_rx.py), where each
+    candidate keeps an independent host FSM chain.
 
-    When `deconv` is None the deconvolution happens centrally in the
+    When `deconv` is None the deconvolution happens centrally in a
     batched path and feed() receives bytes directly."""
 
     def __init__(self, rate: str, fastlock: bool, batched_deconv=False):
+        from .dvbs_rx import _DeconvolSync
         self.deconv = None if batched_deconv else _DeconvolSync(
             rate, fastlock)
         self.mpeg = MpegSync(
@@ -62,10 +92,77 @@ class _ByteChain:
         return out[good]
 
 
-class MultiDvbsReceiver:
-    """N-channel receiver with one batched device demodulator."""
+class _ByteBackend:
+    """Host byte-domain stages for one channel fleet, vectorized where the
+    data allows and batched across channels at the RS stage."""
 
-    def __init__(self, cfg: RxConfig, nchan: int, use_pallas=None):
+    def __init__(self, nchan: int, fastlock: bool, on_next_sync=None):
+        self.nchan = nchan
+        self.mpeg = [
+            MpegSync(fastlock=fastlock,
+                     on_next_sync=(None if on_next_sync is None
+                                   else (lambda c=c: on_next_sync(c))))
+            for c in range(nchan)]
+        self.byte_backlog = [np.empty(0, np.uint8) for _ in range(nchan)]
+        self.mpegbyte_backlog = [np.empty(0, np.uint8)
+                                 for _ in range(nchan)]
+        self.derand_pos = [0] * nchan
+        self.vbitcount = np.zeros(nchan, np.int64)
+        self.verrcount = np.zeros(nchan, np.int64)
+
+    def feed(self, bytes_by_chan) -> list:
+        """bytes_by_chan: per-channel new byte arrays (possibly empty).
+        Returns per-channel TS packet arrays [k, 188]."""
+        C = self.nchan
+        rspkts = []
+        counts = []
+        for c in range(C):
+            b = bytes_by_chan[c]
+            if len(b):
+                self.byte_backlog[c] = np.concatenate(
+                    [self.byte_backlog[c], b])
+            pkts, consumed = self.mpeg[c].process(self.byte_backlog[c])
+            self.byte_backlog[c] = self.byte_backlog[c][consumed:]
+            if len(pkts):
+                self.mpegbyte_backlog[c] = np.concatenate(
+                    [self.mpegbyte_backlog[c], pkts.reshape(-1)])
+            rp, self.mpegbyte_backlog[c] = interleave.deinterleave(
+                self.mpegbyte_backlog[c])
+            rspkts.append(rp)
+            counts.append(rp.shape[0])
+        total = sum(counts)
+        outs = [np.empty((0, TS_SIZE), np.uint8)] * C
+        if not total:
+            return outs
+        # One batched RS decode for the whole fleet's packets.
+        allp = np.concatenate([r for r in rspkts if len(r)], axis=0)
+        msgs, failed, bits = rs.decode(allp)
+        msgs = msgs.copy()
+        msgs[failed, 0] ^= prbs.MPEG_SYNC_CORRUPTED
+        o = 0
+        for c in range(C):
+            k = counts[c]
+            if not k:
+                continue
+            self.vbitcount[c] += k * RS_SIZE * 8
+            self.verrcount[c] += int(bits[o:o + k].sum())
+            out, good, self.derand_pos[c] = prbs.derandomize_np(
+                msgs[o:o + k], self.derand_pos[c])
+            outs[c] = out[good]
+            o += k
+        return outs
+
+    @property
+    def locks(self):
+        return [m.synchronized for m in self.mpeg]
+
+
+class MultiDvbsReceiver:
+    """N-channel receiver: one batched device demod + device deconv +
+    vectorized host byte backend."""
+
+    def __init__(self, cfg: RxConfig, nchan: int, use_pallas=None,
+                 chunk_samples: int | None = None):
         self.cfg = cfg
         self.nchan = nchan
         cstln = make_dvbs2_constellation(cfg.constellation, cfg.rate)
@@ -76,6 +173,7 @@ class MultiDvbsReceiver:
             nsymbols=cstln.nsymbols,
             freq0=cfg.Ftune / cfg.Fs,
             exact_lut=cfg.exact_lut,
+            pll_adjustment=(1.0 / 6 if cfg.viterbi else 1.0),
         )
         self.tables = receiver.make_tables(cstln)
         self.state = receiver.init_state(self.params, nchan)
@@ -89,29 +187,49 @@ class MultiDvbsReceiver:
             self._rp = rp
             self._sym_consts = rp.sym_constants(cstln)
             self._planes = rp.pack_state(self.state)
-        rate = "4/6" if cfg.rate == "2/3" else cfg.rate
-        # Channel-batched deconvolver (fastlock election batched over
-        # channels x sync hypotheses), all punctured rates.
-        self.batched_deconv = None
-        if cfg.fastlock and not cfg.viterbi:
-            from ..fec.deconv import BatchedDeconvolSync
-            self.batched_deconv = BatchedDeconvolSync(rate, nchan)
-        self.chains = [
-            _ByteChain(rate, cfg.fastlock,
-                       batched_deconv=self.batched_deconv is not None)
-            for _ in range(nchan)]
+        self.rate = "4/6" if cfg.rate == "2/3" else cfg.rate
+        self.omega = cfg.Fs / cfg.Fm
+
+        self.viterbi = bool(cfg.viterbi)
+        nominal = chunk_samples or (1 << 16)
+        if self.viterbi:
+            from ..fec.viterbi_device import MultiViterbiSync
+            self.deconv = MultiViterbiSync(
+                cstln, self.rate, nchan, nominal, self.omega,
+                fastlock=cfg.fastlock)
+            self.backend = _ByteBackend(nchan, cfg.fastlock)
+        else:
+            self.deconv = DeviceDeconvolver(
+                self.rate, nchan, nominal, self.omega,
+                fastlock=cfg.fastlock)
+            on_next = None if cfg.fastlock else self.deconv.next_sync
+            self.backend = _ByteBackend(nchan, cfg.fastlock,
+                                        on_next_sync=on_next)
         self.sample_backlog = np.empty((nchan, 0, 2), np.float32)
+
+    # -- streaming API ----------------------------------------------------
 
     def process(self, iq):
         """[C, n, 2] float32 IQ -> list of [k_c, 188] TS packet arrays.
 
         `iq` may be a device array whose length is readahead + a multiple
-        of CHUNK (and float_scale already applied): it is then consumed
+        of CHUNK (with float_scale already applied): it is then consumed
         directly with no host round-trip — the fast path for
-        device-resident streams.
+        device-resident streams. Use dispatch()/collect() for a
+        software-pipelined variant that overlaps fetch with compute.
         """
+        pend = self.dispatch(iq)
+        if pend is None:
+            return [np.empty((0, TS_SIZE), np.uint8)] * self.nchan
+        return self.collect(pend)
+
+    def dispatch(self, iq):
+        """Enqueue device work for one chunk; returns a pending handle
+        (device arrays) or None if not enough samples buffered."""
         ra = self.params.readahead
-        if isinstance(iq, jnp.ndarray) and not isinstance(iq, np.ndarray)                 and len(self.sample_backlog[0]) == 0                 and (iq.shape[1] - ra) % receiver.CHUNK == 0:
+        if isinstance(iq, jnp.ndarray) and not isinstance(iq, np.ndarray) \
+                and self.sample_backlog.shape[1] == 0 \
+                and (iq.shape[1] - ra) % receiver.CHUNK == 0:
             x = iq
             n = iq.shape[1] - ra
         else:
@@ -121,27 +239,55 @@ class MultiDvbsReceiver:
                 [self.sample_backlog, iq], axis=1)
             K = (self.sample_backlog.shape[1] - ra) // receiver.CHUNK
             if K <= 0:
-                return [np.empty((0, TS_SIZE), np.uint8)] * self.nchan
+                return None
             n = K * receiver.CHUNK
             x = jnp.asarray(self.sample_backlog[:, :n + ra])
             self.sample_backlog = self.sample_backlog[:, n:]
 
+        want_cost = self.viterbi
         if self.use_pallas:
             self._planes, packed = self._rp.demod_pallas(
                 self.params, self._sym_consts, self._planes, x)
-            word, _ = self._rp.pack_outputs(packed, self.nchan)
-            sym, valid = self._rp.unpack_sym3(word, n)
+            sym, valid, cost = _extract_sym_valid(packed, self.nchan,
+                                                  want_cost)
         else:
             self.state, out = receiver.run_chunks(
                 self.params, self.tables, self.state, x)
-            sym = np.asarray(out["symbol"])
-            valid = np.asarray(out["valid"])
-        syms = [sym[c][valid[c]] for c in range(self.nchan)]
-        if self.batched_deconv is not None:
-            syms = self.batched_deconv.process(syms)
-        return [self.chains[c].feed(syms[c])
-                for c in range(self.nchan)]
+            sym = out["symbol"].T
+            valid = out["valid"].T
+            cost = out["cost"].T if want_cost else None
+
+        self.deconv.append(sym, valid, cost)
+        self.deconv.note_production(max(0, int(n / self.omega) - 8))
+        handles = []
+        while self.deconv.can_decode():
+            handles.append(self.deconv.decode())
+        return handles, self.deconv.state["fill"]
+
+    def collect(self, pending) -> list:
+        """Fetch one dispatch()'s results and run the host byte backend."""
+        handles, fill_d = pending
+        per_chan = [[] for _ in range(self.nchan)]
+        for by_d, errs_d, under_d in handles:
+            by = np.asarray(by_d)
+            under = np.asarray(under_d)
+            for c in range(self.nchan):
+                if not under[c]:
+                    per_chan[c].append(by[c])
+        self.deconv.sync_fill(np.asarray(fill_d))
+        bytes_by_chan = [
+            np.concatenate(p) if p else np.empty(0, np.uint8)
+            for p in per_chan]
+        return self.backend.feed(bytes_by_chan)
 
     @property
     def locks(self):
-        return [c.mpeg.synchronized for c in self.chains]
+        return self.backend.locks
+
+    @property
+    def vbitcount(self):
+        return self.backend.vbitcount
+
+    @property
+    def verrcount(self):
+        return self.backend.verrcount
