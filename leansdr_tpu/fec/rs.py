@@ -101,8 +101,18 @@ def _syndrome_consts() -> np.ndarray:
 
 
 def syndromes(packets: np.ndarray) -> np.ndarray:
-    """[n,204] -> [n,16] syndromes synd[i] = P(alpha^i) (rs.h:116-129)."""
+    """[n,204] -> [n,16] syndromes synd[i] = P(alpha^i) (rs.h:116-129).
+
+    Large batches use the GF(2)-linear formulation as one float32 BLAS
+    matmul (exact: bit-count sums < 2^24), the host analogue of the MXU
+    `jax_syndromes` path — ~10x faster than the per-byte table XOR
+    reduction for fleet-sized batches."""
     packets = np.atleast_2d(np.asarray(packets, dtype=np.uint8))
+    if packets.shape[0] >= 64:
+        bits = np.unpackbits(packets, axis=1).astype(np.float32)
+        M = gf2_syndrome_matrix().astype(np.float32)     # [1632, 128]
+        sbits = (bits @ M).astype(np.int32) & 1
+        return np.packbits(sbits.astype(np.uint8), axis=1)
     c = _syndrome_consts()                   # [204,16]
     prod = gf_mul(packets[:, :, None], c[None, :, :])
     return np.bitwise_xor.reduce(prod, axis=1)

@@ -33,6 +33,28 @@ from ..proto.framing import MpegSync
 from functools import partial
 
 
+@partial(jax.jit, static_argnames=("nd",))
+def _pack_fetch(nd: int, fill: jnp.ndarray, *flat):
+    """Concatenate `nd` decode results + the fill watermark into ONE u8
+    array so the host link pays a single round trip per chunk.
+
+    flat: nd triples (bytes [C,NB] u8, errs [C,E] i32, under [C] bool).
+    Layout per channel row: nd x [NB bytes | E*4 errs | 1 under] | 4 fill.
+    """
+    parts = []
+    for i in range(nd):
+        by, errs, under = flat[3 * i:3 * i + 3]
+        parts += [
+            by,
+            jax.lax.bitcast_convert_type(errs, jnp.uint8
+                                         ).reshape(errs.shape[0], -1),
+            under.astype(jnp.uint8)[:, None],
+        ]
+    parts.append(jax.lax.bitcast_convert_type(
+        fill[:, None], jnp.uint8).reshape(fill.shape[0], -1))
+    return jnp.concatenate(parts, axis=1)
+
+
 @partial(jax.jit, static_argnames=("nchan", "want_cost"))
 def _extract_sym_valid(packed: jnp.ndarray, nchan: int,
                        want_cost: bool = False):
@@ -262,19 +284,29 @@ class MultiDvbsReceiver:
         handles = []
         while self.deconv.can_decode():
             handles.append(self.deconv.decode())
-        return handles, self.deconv.state["fill"]
+        flat = [a for h in handles for a in h]
+        packed_out = _pack_fetch(len(handles), self.deconv.state["fill"],
+                                 *flat)
+        shapes = [(h[0].shape[1], h[1].shape[1]) for h in handles]
+        return packed_out, shapes
 
     def collect(self, pending) -> list:
-        """Fetch one dispatch()'s results and run the host byte backend."""
-        handles, fill_d = pending
+        """Fetch one dispatch()'s results (ONE host round trip) and run
+        the host byte backend."""
+        packed_out, shapes = pending
+        buf = np.asarray(packed_out)                 # [C, total]
         per_chan = [[] for _ in range(self.nchan)]
-        for by_d, errs_d, under_d in handles:
-            by = np.asarray(by_d)
-            under = np.asarray(under_d)
+        o = 0
+        for nb, ne in shapes:
+            by = buf[:, o:o + nb]
+            o += nb + ne * 4
+            under = buf[:, o]
+            o += 1
             for c in range(self.nchan):
                 if not under[c]:
                     per_chan[c].append(by[c])
-        self.deconv.sync_fill(np.asarray(fill_d))
+        fill = buf[:, o:o + 4].copy().view(np.int32)[:, 0]
+        self.deconv.sync_fill(fill)
         bytes_by_chan = [
             np.concatenate(p) if p else np.empty(0, np.uint8)
             for p in per_chan]

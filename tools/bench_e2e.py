@@ -1,11 +1,16 @@
 #!/usr/bin/env python
 """End-to-end multi-channel RX throughput (the north-star shape:
-64 x 2 Msps DVB-S QPSK channels, BASELINE.json).
+64 x 2.4 Msps DVB-S QPSK channels, BASELINE.json).
 
-Measures the FULL receive chain — device demodulation (Pallas kernel)
-plus per-channel host byte stages (deconvolution, framing, RS,
-derandomizer) — and reports aggregate Msamples/s and the realtime factor
-versus 64 channels at 2.4 Msps input.
+Measures the FULL receive chain — device demodulation + device
+deconvolution (symbol compaction ring, MXU GF(2) convolution, hypothesis
+election) + vectorized host byte stages (framing, deinterleave, batched
+RS, derandomizer) — and reports aggregate Msamples/s and the realtime
+factor versus 64 channels at 2.4 Msps input.
+
+Software-pipelined: chunk k+1's device work is dispatched before chunk
+k's bytes are fetched, so the host link transfer and the host byte
+backend overlap device compute.
 """
 
 import json
@@ -25,38 +30,63 @@ def main():
 
     import jax.numpy as jnp
     nchan = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-    pkts = tsgen.generate(200)
-    base = dvbs_tx.modulate(pkts, dvbs_tx.TxConfig(rate="1/2", interp=2))
-    n = len(base) // (1 << 16) * (1 << 16)
-    x = np.broadcast_to(base[None, :n] * 75.0, (nchan, n, 2)).copy()
-    # Device-resident input: uploaded once (on real hardware the ingest
-    # path is double-buffered host->device DMA; the tunnel here is slow).
-    xd = jnp.asarray(x.astype(np.float32))
+    CH = 1 << int(sys.argv[2]) if len(sys.argv) > 2 else (1 << 18)
+    viterbi = "--viterbi" in sys.argv
+    # Stimulus synthesized ON DEVICE (pipelines/dvbs_tx_device.py): the
+    # bench input never crosses the host link — on real hardware ingest
+    # is double-buffered host->device DMA; the axon tunnel here is slow.
+    npkt = (6 * CH) // 3264 + 12
+    pkts = tsgen.generate(npkt)
+    try:
+        from leansdr_tpu.pipelines import dvbs_tx_device as txd
+        mod = txd.DeviceModulator(rate="1/2", interp=2, amp=75.0)
+        y = txd._tx_jit(jnp.asarray(pkts), mod.pat, mod.enc_m,
+                        mod.ilv_idx, mod.sym_pts, mod.rrc,
+                        mod.rate, mod.bps, mod.interp, mod.ncoeffs)
+        n = (y.shape[0] - 1) // CH * CH
+        xd = jnp.broadcast_to(y[None, :n + 1], (nchan, n + 1, 2)) + 0.0
+        xd.block_until_ready()
+    except Exception:
+        base = dvbs_tx.modulate(pkts,
+                                dvbs_tx.TxConfig(rate="1/2", interp=2))
+        n = (len(base) - 1) // CH * CH
+        x = np.broadcast_to(base[None, :n + 1] * 75.0,
+                            (nchan, n + 1, 2))
+        xd = jnp.asarray(np.ascontiguousarray(x, np.float32))
 
     rx = MultiDvbsReceiver(
         RxConfig(Fs=4e6, Fm=2e6, rate="1/2", fastlock=True,
-                 float_scale=75.0, exact_lut=False), nchan)
-    CH = 1 << 16
-    rx.process(xd[:, :CH + 1])       # warm up compile
+                 float_scale=75.0, exact_lut=False, viterbi=viterbi),
+        nchan, chunk_samples=CH)
+    rx.process(xd[:, :CH + 1])       # warm up compile + prime the ring
 
     t0 = time.perf_counter()
     done = CH
     decoded = 0
+    pending = None
+    measured = 0
     while done + CH + 1 <= n:
-        outs = rx.process(xd[:, done:done + CH + 1])
-        decoded += sum(len(o) for o in outs)
+        nxt = rx.dispatch(xd[:, done:done + CH + 1])
+        if pending is not None:
+            outs = rx.collect(pending)
+            decoded += sum(len(o) for o in outs)
+        pending = nxt
         done += CH
+        measured += CH
+    if pending is not None:
+        outs = rx.collect(pending)
+        decoded += sum(len(o) for o in outs)
     dt = time.perf_counter() - t0
-    total = nchan * (done - CH)
+    total = nchan * measured
     msps = total / dt / 1e6
     print(json.dumps({
         "metric": "e2e_rx_throughput",
         "nchan": nchan,
+        "chunk": CH,
+        "viterbi": viterbi,
         "value": round(msps, 1),
-        "unit": "Msamples/s aggregate (full chain)",
+        "unit": "Msamples/s aggregate (full chain to TS)",
         "realtime_factor_vs_64x2.4Msps": round(msps / (64 * 2.4), 2),
-        "note": ("host glue incl. ~13MB/s tunnel fetches; device demod "
-                 "alone is ~5.3 GS/s — see bench.py"),
         "decoded_packets": decoded,
         "locks": sum(rx.locks),
     }))
