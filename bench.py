@@ -43,6 +43,10 @@ def _time_reps(fn, state0, reps):
 
 def main():
     import jax
+    from pathlib import Path
+    jax.config.update("jax_compilation_cache_dir",
+                      str(Path(__file__).resolve().parent / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
     import jax.numpy as jnp
     from leansdr_tpu.dsp import receiver, receiver_pallas as rp
     from leansdr_tpu.dsp.cstln import Predef, make_dvbs2_constellation
@@ -54,8 +58,7 @@ def main():
     params = receiver.ReceiverParams(omega=1.2, sampler="linear",
                                      nsymbols=4, exact_lut=False)
     sc = rp.sym_constants(cstln)
-    planes = rp.pack_state(receiver.init_state(params, nchan),
-                           max(8, -(-nchan // 128)))
+    planes = rp.pack_state(receiver.init_state(params, nchan))
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(

@@ -272,9 +272,13 @@ def _demod_kernel(params: ReceiverParams, sym_re, sym_im, sym_phase, nsub,
 NSTATE = 19
 
 
-def pack_state(state, nsub: int = SUB) -> jnp.ndarray:
-    """receiver.init_state dict [C,...] -> [NSTATE, nsub, 128] planes."""
+def pack_state(state, nsub: int | None = None) -> jnp.ndarray:
+    """receiver.init_state dict [C,...] -> [NSTATE, nsub, 128] planes.
+
+    Default nsub matches demod_pallas's channel-tile formula."""
     C = state["mu"].shape[0]
+    if nsub is None:
+        nsub = max(1, -(-C // LANE))
     cmax = nsub * LANE
     assert C <= cmax
     planes = np.zeros((NSTATE, cmax), np.float32)
@@ -328,7 +332,10 @@ def demod_pallas(params: ReceiverParams, sym_consts, st_planes, x,
     nsamp = n1 - 1
     nT = nsamp // CHUNK
     assert nT * CHUNK == nsamp
-    nsub = max(SUB, -(-C // LANE))
+    # Channel tiles: one (nsub, 128) plane per value. Small fleets use
+    # nsub=1 (Mosaic pads the sublane dim in-register); padding to 8
+    # would multiply every [nsamp, nsub, 128] HBM array by 8 for nothing.
+    nsub = max(1, -(-C // LANE))
     cmax = nsub * LANE
 
     sym_re, sym_im, sym_phase = sym_consts
@@ -370,7 +377,7 @@ def demod_pallas(params: ReceiverParams, sym_consts, st_planes, x,
 
 def unpack_outputs(packed, C):
     """[nsamp, 8, 128] i32 -> (cost i16 [C,nsamp], sym u8, valid bool)."""
-    p = np.asarray(packed).reshape(packed.shape[0], CMAX)[:, :C].T
+    p = np.asarray(packed).reshape(packed.shape[0], -1)[:, :C].T
     cost = (-(p & 0xFFFF)).astype(np.int16)
     sym = ((p >> 16) & 0xFF).astype(np.uint8)
     valid = (p >> 24) & 1

@@ -101,7 +101,10 @@ def make_plan(rate: str, nchan: int, nsamp: int, omega: float,
     E = max(1, prod // (P_sub * pw // 2))
     plan = DeconvPlan(rate, nchan, nsamp, P_sub, E, 0, fastlock,
                       store_costs)
-    cap = plan.needed + prod + 8192
+    # Ring must hold the pre-drain high-water mark (needed + one call's
+    # production) plus the sort-compaction write window (nsamp + DELTA_MAX
+    # rows at fill_min, see deconv_append).
+    cap = plan.needed + prod + nsamp + DELTA_MAX + 8192
     return DeconvPlan(rate, nchan, nsamp, P_sub, E, cap, fastlock,
                       store_costs)
 
@@ -146,36 +149,65 @@ def _sym_to_iq_bits(sym: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(outs, axis=0)
 
 
+# Rank-alignment margin for the sort-based compaction: channels whose
+# fill watermark lags the fleet minimum by more than DELTA_MAX symbols
+# lose rank/key alignment (their oldest unwritten slots fall outside the
+# dummy-prefix window). Per-channel fills only diverge through per-chunk
+# symbol-count jitter (~±1) because decode() drains a FIXED count, so
+# 256 covers any realistic drift between decodes.
+DELTA_MAX = 256
+
+
 @partial(jax.jit, static_argnames=("plan",))
 def deconv_append(plan: DeconvPlan, state, sym, valid, cost=None):
-    """Compact new demod output into the ring.
+    """Compact new demod output into the ring — scatter-free.
 
     sym/valid: [nsamp, C]; cost (optional): [nsamp, C] i16.
-    Stream compaction is a per-lane cumsum + scatter: invalid samples
-    scatter into the (sliced-away) pad region at unique indices.
+
+    TPU scatters with per-lane row indices are ~10x slower than a
+    bitonic sort at this shape, so compaction is ONE stable key sort:
+    each new symbol's key is its ring slot relative to the fleet-minimum
+    fill (delta_c + csum - 1), invalid samples get an off-the-end key.
+    Ranks equal keys only if every channel's keys start at 0, so the
+    DELTA_MAX ring rows at fill_min are prepended as dummies with keys
+    0..delta_c-1 (their values are the ring content they will rewrite
+    unchanged). The sorted block then lands with one uniform
+    dynamic_update_slice at row fill_min; rows past each channel's new
+    fill hold garbage, which is fine because readers never look past
+    fill (underflowing decodes are dropped by the host).
     """
     n, C = sym.shape
+    D = DELTA_MAX
     fill = state["fill"]                                   # [C] i32
+    fill_min = jnp.min(fill)
+    delta = fill - fill_min                                # [C] >= 0
     csum = jnp.cumsum(valid.astype(jnp.int32), axis=0)     # [n, C]
     nvalid = csum[-1]
-    rows_ok = fill[None, :] + csum - 1
-    t = jnp.arange(n, dtype=jnp.int32)[:, None]
-    rows_trash = plan.cap + (t - csum)
-    rows = jnp.where(valid, rows_ok, rows_trash)
-    cols = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[None, :],
-                            (n, C))
-    buf = jnp.concatenate(
-        [state["buf"], jnp.zeros((n, C), jnp.uint8)], axis=0)
-    buf = buf.at[rows, cols].set(sym.astype(jnp.uint8), mode="drop",
-                                 unique_indices=True)[:plan.cap]
-    out = dict(state, buf=buf,
-               fill=jnp.minimum(fill + nvalid, plan.cap + n))
+    big = jnp.int32(plan.cap + n + D)
+
+    r = jnp.arange(D, dtype=jnp.int32)[:, None]
+    okey = jnp.where(r < delta[None, :], r, big)           # [D, C]
+    nkey = jnp.where(valid, delta[None, :] + csum - 1, big)
+
+    keys = jnp.concatenate([okey, nkey], axis=0)           # [D+n, C]
+    old = lax.dynamic_slice(state["buf"], (fill_min, jnp.int32(0)),
+                            (D, C))
+    vals = jnp.concatenate([old, sym.astype(jnp.uint8)], axis=0)
+    operands = [keys, vals]
     if plan.store_costs:
-        cbuf = jnp.concatenate(
-            [state["cost"], jnp.zeros((n, C), jnp.int16)], axis=0)
-        out["cost"] = cbuf.at[rows, cols].set(
-            cost.astype(jnp.int16), mode="drop",
-            unique_indices=True)[:plan.cap]
+        oldc = lax.dynamic_slice(state["cost"], (fill_min, jnp.int32(0)),
+                                 (D, C))
+        operands.append(jnp.concatenate(
+            [oldc, cost.astype(jnp.int16)], axis=0))
+    sorted_ops = lax.sort(tuple(operands), dimension=0, num_keys=1,
+                          is_stable=False)
+    buf = lax.dynamic_update_slice(state["buf"], sorted_ops[1],
+                                   (fill_min, jnp.int32(0)))
+    out = dict(state, buf=buf,
+               fill=jnp.minimum(fill + nvalid, plan.cap - D - n))
+    if plan.store_costs:
+        out["cost"] = lax.dynamic_update_slice(
+            state["cost"], sorted_ops[2], (fill_min, jnp.int32(0)))
     return out
 
 

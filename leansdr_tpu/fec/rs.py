@@ -120,17 +120,24 @@ def syndromes(packets: np.ndarray) -> np.ndarray:
 
 def _eval_all_points(coeffs: np.ndarray, maxdeg: np.ndarray) -> np.ndarray:
     """Evaluate polynomials [n,16] (coeffs by increasing degree, degree
-    limited per-row by maxdeg) at all 255 points alpha^j -> [n,255]."""
+    limited per-row by maxdeg) at all 255 points alpha^j -> [n,255].
+
+    Horner over the 16 coefficients on [n,255] planes: 16 small
+    gather-XOR steps instead of one [n,16,255] materialization (the
+    latter allocated ~100MB per thousand packets and dominated decode
+    time on corrupted batches)."""
     exp, log = gf_tables()
     n = coeffs.shape[0]
     i = np.arange(16)
-    j = np.arange(255)
-    powmat = (i[:, None] * j[None, :]) % 255            # [16,255]
-    logc = log[coeffs].astype(np.int32)                 # [n,16]
-    vals = exp[(logc[:, :, None] + powmat[None, :, :])]
-    mask = (coeffs != 0)[:, :, None] & (i[None, :, None] <= maxdeg[:, None, None])
-    vals = np.where(mask, vals, 0)
-    return np.bitwise_xor.reduce(vals, axis=1)          # [n,255]
+    cm = np.where(i[None, :] <= maxdeg[:, None], coeffs, 0)   # [n,16]
+    logx = np.arange(255, dtype=np.int32)                     # log alpha^j
+    val = np.broadcast_to(cm[:, 15:16], (n, 255)).copy()
+    for d in range(14, -1, -1):
+        nz = val != 0
+        val = np.where(nz, exp[log[val].astype(np.int32) + logx[None, :]],
+                       0)
+        val ^= cm[:, d:d + 1]
+    return val
 
 
 def berlekamp_massey(synd: np.ndarray):

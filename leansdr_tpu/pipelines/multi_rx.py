@@ -120,6 +120,12 @@ class _ByteBackend:
 
     def __init__(self, nchan: int, fastlock: bool, on_next_sync=None):
         self.nchan = nchan
+        # Warm the RS LUTs/GF(2) matrices and the correction path so the
+        # first streaming chunk doesn't pay their one-time build cost.
+        rs.gf2_syndrome_matrix()
+        warm = rs.encode(np.zeros((96, 188), np.uint8))
+        warm[:, 3] ^= 0x5A
+        rs.decode(warm)
         self.mpeg = [
             MpegSync(fastlock=fastlock,
                      on_next_sync=(None if on_next_sync is None
@@ -228,6 +234,7 @@ class MultiDvbsReceiver:
             self.backend = _ByteBackend(nchan, cfg.fastlock,
                                         on_next_sync=on_next)
         self.sample_backlog = np.empty((nchan, 0, 2), np.float32)
+        self._pool = None
 
     # -- streaming API ----------------------------------------------------
 
@@ -290,11 +297,27 @@ class MultiDvbsReceiver:
         shapes = [(h[0].shape[1], h[1].shape[1]) for h in handles]
         return packed_out, shapes
 
+    def prefetch(self, pending):
+        """Start the device->host transfer of a dispatch()'s packed
+        result on a background thread, so the link transfer overlaps the
+        host byte backend of the PREVIOUS chunk. Returns a pending handle
+        accepted by collect()."""
+        if pending is None:
+            return None
+        packed_out, shapes = pending
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(1)
+        return self._pool.submit(np.asarray, packed_out), shapes
+
     def collect(self, pending) -> list:
         """Fetch one dispatch()'s results (ONE host round trip) and run
         the host byte backend."""
         packed_out, shapes = pending
-        buf = np.asarray(packed_out)                 # [C, total]
+        if hasattr(packed_out, "result"):
+            buf = packed_out.result()                # prefetched
+        else:
+            buf = np.asarray(packed_out)             # [C, total]
         per_chan = [[] for _ in range(self.nchan)]
         o = 0
         for nb, ne in shapes:
