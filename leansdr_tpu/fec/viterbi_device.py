@@ -1,0 +1,403 @@
+"""Multi-channel soft-decision Viterbi on device: a Pallas ACS kernel
+batched over channels x sync replicas.
+
+Re-designs viterbi_sync (reference dvb.h:1173-1416) TPU-first for the
+K=7, bits_in=1 trellis (rate 1/2, the north-star configuration):
+
+* The ACS butterfly is CONSTANT-GEOMETRY: new states j and j+32 share
+  the same predecessor pair (2j, 2j+1) and differ only in the shifted-in
+  uncoded bit (j >> 5), so one ACS step is pure sublane-pair arithmetic
+  on [64, N] metric planes — no gathers, no scatters. Fleet channels and
+  the 4 (conj x rot) sync replicas ride the 128-wide lane axis.
+
+* Register-exchange paths (bitpath, viterbi.h:287-293) are one u32 plane
+  (rate 1/2 traceback depth is 32, dvb.h:1180) updated by select+shift.
+
+* Tie-breaking matches viterbi_dec exactly (viterbi.h:202-244): branch
+  candidates are scanned [provided-with-metric, then branches in coded-
+  symbol-ascending order] with '<=', so the LAST minimum wins; the best
+  STATE scan uses '<' ascending, so the FIRST minimum wins — realized
+  branch-free via a (metric*64 | state) packed key.
+
+* The reference's resync_period time-multiplexing of the nsyncs replicas
+  (dvb.h:1386-1394) becomes hypothesis parallelism: all 4 sync replicas
+  advance every block (SURVEY 2.10 P6), and a strictly-greater
+  discriminant election runs per P_SUB-block sub-block instead of per
+  128-block chunk — same election rule, coarser cadence (documented
+  deviation; elections are stable after lock).
+"""
+
+from dataclasses import dataclass
+from functools import lru_cache, partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .viterbi import NSTATES, PATH_SPEC, make_trellis, make_sync_maps
+from .deconv_device import deconv_append, DELTA_MAX
+
+NSYNCS = 4          # nconj x nrot for QPSK-class constellations
+P_SUB = 1024        # blocks per election sub-block (= kernel grid tile)
+LANES = 128
+
+
+@lru_cache(maxsize=None)
+def _butterfly_tables(rate: str):
+    """Static per-new-state branch tables for the constant-geometry ACS.
+
+    For new state s' (0..63) the two incoming branches come from preds
+    2j, 2j+1 with j = s' mod 32; returns, per output-half h (s' = j or
+    j+32), the coded symbol of each branch and the cs-ascending scan
+    order needed for exact tie parity:
+      cs_even[h][j]  coded symbol of branch pred=2j   -> s'
+      cs_odd[h][j]   coded symbol of branch pred=2j+1 -> s'
+      swap[h][j]     True if the odd branch has the SMALLER cs (so it
+                     comes first in the reference's rescan order)
+    """
+    t = make_trellis(rate)
+    assert t.bits_in == 1, "device kernel supports bits_in=1 rates"
+    cs_even = np.zeros((2, 32), np.int32)
+    cs_odd = np.zeros((2, 32), np.int32)
+    for h in range(2):
+        for j in range(32):
+            sp = j + 32 * h
+            for k in range(2):          # branch from pred 2j+k
+                pred = 2 * j + k
+                cs = int(np.where(t.pred[sp] == pred)[0][0])
+                (cs_even if k == 0 else cs_odd)[h, j] = cs
+    swap = cs_odd < cs_even
+    return (tuple(map(tuple, cs_even)), tuple(map(tuple, cs_odd)),
+            tuple(map(tuple, swap)))
+
+
+@lru_cache(maxsize=None)
+def _butterfly_table_array(rate: str) -> np.ndarray:
+    """The butterfly tables packed as a [32, 128] i32 kernel input
+    (Pallas forbids captured array constants): column 2h+0/2h+1 =
+    cs_even/cs_odd for half h, 4+h = swap, 6+h = state index."""
+    cs_even, cs_odd, swap = _butterfly_tables(rate)
+    tbl = np.zeros((32, LANES), np.int32)
+    for h in range(2):
+        tbl[:, 2 * h + 0] = cs_even[h]
+        tbl[:, 2 * h + 1] = cs_odd[h]
+        tbl[:, 4 + h] = np.array(swap[h], np.int32)
+        tbl[:, 6 + h] = np.arange(32, dtype=np.int32) + 32 * h
+    return tbl
+
+
+def _acs_kernel(rate: str,
+                tbl_ref, cs_ref, cost_ref, m_in_ref, p_in_ref,
+                m_out_ref, p_out_ref, us_ref, q_ref, scratch):
+    """One grid step = one (128-lane slab, P_SUB-block sub-block) tile;
+    the lane-slab axis is OUTER so the scratch planes stay resident
+    across one slab's whole time sweep (Mosaic's tpu.strided_load needs
+    a 128-wide base memref, hence the per-slab decomposition).
+
+    scratch[:64] = metric planes (i32), scratch[64:128] = path planes
+    (u32 bits in i32). cs/cost refs: [P_SUB, 128] i32. us/q out:
+    [P_SUB, 128] i32 (decoded bit at traceback depth; per-block
+    best2-best discriminant).
+    """
+    nbits, depth = PATH_SPEC[rate]
+    shift = (depth - 1) * nbits
+    i = pl.program_id(1)
+    BIG = jnp.int32(1 << 30)
+
+    @pl.when(i == 0)
+    def _():
+        scratch[0:64] = m_in_ref[...]
+        scratch[64:128] = p_in_ref[...]
+
+    cse = [tbl_ref[:, 2 * h + 0][:, None] for h in range(2)]  # [32,1]
+    cso = [tbl_ref[:, 2 * h + 1][:, None] for h in range(2)]
+    swp = [tbl_ref[:, 4 + h][:, None] for h in range(2)]
+    sidx = [tbl_ref[:, 6 + h][:, None] for h in range(2)]
+
+    def body(t, carry):
+        # Metric/path planes live in the VMEM scratch ref: Mosaic
+        # supports sublane-STRIDED LOADS from refs (tpu.strided_load)
+        # but not strided slices of values, so the even/odd pred
+        # deinterleave reads the ref directly and the butterfly writes
+        # back the two contiguous halves.
+        cs_b = cs_ref[t]                            # [n_lanes]
+        c_b = cost_ref[t]
+
+        me = scratch[0:64:2]                        # pred 2j    [32, N]
+        mo = scratch[1:64:2]                        # pred 2j+1
+        pe = scratch[64:128:2]
+        po = scratch[65:128:2]
+
+        halves_m = []
+        halves_p = []
+        best_key = None
+        for h in range(2):
+            bon_e = jnp.where(cse[h] == cs_b[None, :], c_b[None, :], 0)
+            bon_o = jnp.where(cso[h] == cs_b[None, :], c_b[None, :], 0)
+            Me = me + bon_e
+            Mo = mo + bon_o
+            new_m = jnp.minimum(Me, Mo)
+            # Reference scan order [provided, cs-ascending branches],
+            # '<=' last-min wins. k_match = branch whose cs was provided
+            # (if neither matches, both bonuses are 0 and one of the
+            # plain comparisons below always fires).
+            first_is_odd = swp[h]                   # [32,1] 0/1
+            m_first = jnp.where(first_is_odd == 1, mo, me)
+            m_second = jnp.where(first_is_odd == 1, me, mo)
+            k_match_odd = (cso[h] == cs_b[None, :]).astype(jnp.int32)
+            sel_odd = jnp.where(
+                m_second == new_m,
+                1 - first_is_odd,
+                jnp.where(m_first == new_m, first_is_odd, k_match_odd))
+            new_p = ((jnp.where(sel_odd == 1, po, pe) << 1) | h)
+            halves_m.append(new_m)
+            halves_p.append(new_p)
+            key = new_m * 64 + sidx[h]
+            kmin = jnp.min(key, axis=0, keepdims=True)   # [1, N]
+            best_key = kmin if best_key is None else \
+                jnp.minimum(best_key, kmin)
+
+        best_m = best_key >> 6                      # arithmetic: floor
+        # Decoded bit: traceback-depth bit of the (first-min) best
+        # state's path; best_key embeds the state id so the == mask is
+        # unique and a masked sum replaces the cross-sublane gather.
+        us = jnp.zeros_like(best_key)
+        second = None
+        for h in range(2):
+            key = halves_m[h] * 64 + sidx[h]
+            hit = (key == best_key).astype(jnp.int32)
+            us = us + jnp.sum(((halves_p[h] >> shift) & 1) * hit,
+                              axis=0, keepdims=True)
+            k2 = jnp.min(jnp.where(key == best_key, BIG, key),
+                         axis=0, keepdims=True)
+            second = k2 if second is None else jnp.minimum(second, k2)
+        q = (second >> 6) - best_m
+
+        scratch[0:32] = halves_m[0] - best_m
+        scratch[32:64] = halves_m[1] - best_m
+        scratch[64:96] = halves_p[0]
+        scratch[96:128] = halves_p[1]
+        us_ref[t] = us[0]
+        q_ref[t] = q[0]
+        return carry
+
+    jax.lax.fori_loop(0, P_SUB, body, 0)
+
+    @pl.when(i == pl.num_programs(1) - 1)
+    def _():
+        m_out_ref[...] = scratch[0:64]
+        p_out_ref[...] = scratch[64:128]
+
+
+@partial(jax.jit, static_argnames=("rate", "interpret"))
+def viterbi_acs(rate: str, metric, path, cs, cost, interpret=False):
+    """Run the ACS kernel over T = E*P_SUB blocks.
+
+    metric [64, N] i32, path [64, N] i32 (u32 bits), cs/cost [T, N] i32
+    with N a multiple of 128 (channels x syncs on lanes).
+    Returns (metric, path, us [T, N] i32 bits, q [T, N] i32).
+    """
+    T, N = cs.shape
+    assert T % P_SUB == 0 and N % LANES == 0
+    nT = T // P_SUB
+    nG = N // LANES
+    kernel = partial(_acs_kernel, rate)
+    blk = pl.BlockSpec((P_SUB, LANES), lambda g, i: (i, g),
+                       memory_space=pltpu.VMEM)
+    st = pl.BlockSpec((64, LANES), lambda g, i: (0, g),
+                      memory_space=pltpu.VMEM)
+    tb = pl.BlockSpec((32, LANES), lambda g, i: (0, 0),
+                      memory_space=pltpu.VMEM)
+    m2, p2, us, q = pl.pallas_call(
+        kernel,
+        grid=(nG, nT),
+        in_specs=[tb, blk, blk, st, st],
+        out_specs=[st, st, blk, blk],
+        out_shape=[
+            jax.ShapeDtypeStruct((64, N), jnp.int32),
+            jax.ShapeDtypeStruct((64, N), jnp.int32),
+            jax.ShapeDtypeStruct((T, N), jnp.int32),
+            jax.ShapeDtypeStruct((T, N), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((128, LANES), jnp.int32)],
+        interpret=interpret,
+    )(jnp.asarray(_butterfly_table_array(rate)), cs, cost, metric, path)
+    return m2, p2, us, q
+
+
+# ---------------------------------------------------------------------------
+# Fleet wrapper
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class ViterbiPlan:
+    """Static geometry for one (rate, nchan, chunk) configuration."""
+    rate: str
+    nchan: int
+    nsamp: int
+    nshifts: int
+    E: int                  # sub-blocks per decode()
+    cap: int                # symbol ring capacity
+    store_costs: bool = True
+
+    @property
+    def nblocks(self) -> int:
+        return self.E * P_SUB
+
+    @property
+    def consumed(self) -> int:
+        return self.nblocks * self.nshifts
+
+    @property
+    def needed(self) -> int:
+        return self.consumed + self.nshifts - 1
+
+    @property
+    def nbytes(self) -> int:
+        bits_in = make_trellis(self.rate).bits_in
+        return self.nblocks * bits_in // 8
+
+    @property
+    def n_lanes(self) -> int:
+        return -(-(self.nchan * NSYNCS) // LANES) * LANES
+
+
+@partial(jax.jit, static_argnames=("plan", "maps", "interpret"))
+def viterbi_decode(plan: ViterbiPlan, state, maps, interpret=False):
+    """Decode plan.nblocks FEC blocks from the ring front.
+
+    Returns (new_state, bytes [C, nbytes] u8, discr [C, E] i32 for the
+    elected sync, underflow [C] bool).
+    """
+    C, E, ns = plan.nchan, plan.E, plan.nshifts
+    T = plan.nblocks
+    bits_in = make_trellis(plan.rate).bits_in
+    underflow = state["fill"] < plan.needed
+
+    win_sym = state["buf"][:plan.needed]            # [needed, C] u8
+    win_cost = state["cost"][:plan.needed].astype(jnp.int32)
+
+    # Per-sync block inputs (dvb.h:1353-1363): block b of sync s reads
+    # symbols [b*ns + shift_s, +ns), maps them, concatenates bits and
+    # sums costs. QPSK-class: ns == 1, shift == 0 for all 4 syncs.
+    cs_list = []
+    cost_b = win_cost[:T]
+    sym = win_sym[:T].astype(jnp.int32)
+    for s in range(NSYNCS):
+        m = jnp.zeros(sym.shape, jnp.int32)
+        for v in range(len(maps[s])):
+            m = jnp.where(sym == v, np.int32(maps[s][v]), m)
+        cs_list.append(m)
+    cs = jnp.stack(cs_list, axis=2)                 # [T, C, 4]
+    cost4 = jnp.broadcast_to(cost_b[:, :, None], cs.shape)
+
+    pad = plan.n_lanes - C * NSYNCS
+    csf = cs.reshape(T, C * NSYNCS)
+    costf = cost4.reshape(T, C * NSYNCS)
+    if pad:
+        csf = jnp.pad(csf, ((0, 0), (0, pad)))
+        costf = jnp.pad(costf, ((0, 0), (0, pad)))
+
+    m2, p2, us, q = viterbi_acs(plan.rate, state["metric"],
+                                state["path"], csf, costf,
+                                interpret=interpret)
+    us = us[:, :C * NSYNCS].reshape(T, C, NSYNCS)
+    q = q[:, :C * NSYNCS].reshape(T, C, NSYNCS)
+
+    # Election: per-sub-block discriminant sums, strictly-greater switch
+    # applied AFTER each sub-block (dvb.h:1380-1412; discr_delay skip of
+    # the first 64/bits_in blocks approximated at sub-block starts).
+    dd = 64 // bits_in
+    qs = q.reshape(E, P_SUB, C, NSYNCS)
+    qsum = qs[:, dd:].sum(axis=1)                   # [E, C, 4]
+
+    def elect(cur, qk):
+        best = jnp.argmax(qk, axis=1).astype(jnp.int32)        # [C]
+        bv = jnp.take_along_axis(qk, best[:, None], axis=1)[:, 0]
+        cv = jnp.take_along_axis(qk, cur[:, None], axis=1)[:, 0]
+        new = jnp.where(bv > cv, best, cur)
+        return new, cur                              # emit pre-update
+
+    cur_out, elected = jax.lax.scan(elect, state["current"], qsum)
+    # elected [E, C]: sync whose bits are emitted for each sub-block.
+    use = us.reshape(E, P_SUB, C, NSYNCS)
+    sel = jnp.take_along_axis(
+        use, elected[:, None, :, None], axis=3)[:, :, :, 0]
+    bits = sel.reshape(T, C).T.astype(jnp.uint8)     # [C, T] (bits_in=1)
+    w = jnp.asarray((1 << np.arange(7, -1, -1)).astype(np.int32))
+    by = jnp.sum(bits.reshape(C, T // 8, 8) * w, axis=2,
+                 dtype=jnp.int32).astype(jnp.uint8)
+    dsel = jnp.take_along_axis(
+        qsum, elected[:, :, None], axis=2)[:, :, 0].T  # [C, E]
+
+    Sc = plan.consumed
+    buf = jnp.concatenate(
+        [state["buf"][Sc:], jnp.zeros((Sc, C), jnp.uint8)], axis=0)
+    cbuf = jnp.concatenate(
+        [state["cost"][Sc:], jnp.zeros((Sc, C), jnp.int16)], axis=0)
+    new = dict(state, buf=buf, cost=cbuf,
+               fill=jnp.maximum(state["fill"] - Sc, 0),
+               metric=m2, path=p2, current=cur_out)
+    return new, by, dsel, underflow
+
+
+class MultiViterbiSync:
+    """N-channel viterbi_sync: symbol+cost ring -> Pallas ACS over all
+    sync replicas -> elected bit stream, packed to bytes on device.
+
+    Same streaming interface as DeviceDeconvolver (append / decode /
+    fill bookkeeping), so MultiDvbsReceiver uses either interchangeably.
+    `fastlock` is accepted for interface parity: replicas are always-on
+    (hypothesis parallelism), so both modes use the same election — the
+    non-fastlock resync_period gating exists in the reference purely to
+    save CPU (dvb.h:1241).
+    """
+
+    def __init__(self, cstln, rate: str, nchan: int, nsamp: int,
+                 omega: float, fastlock: bool = True,
+                 interpret: bool | None = None):
+        maps, nconj, nrot, nshifts = make_sync_maps(cstln, rate)
+        if nconj * nrot != NSYNCS or nshifts != 1:
+            raise NotImplementedError(
+                "device Viterbi supports 4-sync, nshifts=1 codes "
+                "(QPSK rate 1/2); use ViterbiSyncDevice per channel")
+        self.maps = tuple(tuple(int(v) for v in row) for row in maps)
+        prod = int(nsamp / omega)
+        E = max(1, prod // P_SUB)
+        cap = E * P_SUB + prod + nsamp + DELTA_MAX + 8192
+        self.plan = ViterbiPlan(rate, nchan, nsamp, nshifts, E, cap)
+        self.interpret = (jax.default_backend() == "cpu"
+                          if interpret is None else interpret)
+        C = nchan
+        N = self.plan.n_lanes
+        self.state = {
+            "buf": jnp.zeros((cap, C), jnp.uint8),
+            "cost": jnp.zeros((cap, C), jnp.int16),
+            "fill": jnp.zeros(C, jnp.int32),
+            "metric": jnp.zeros((64, N), jnp.int32),
+            "path": jnp.zeros((64, N), jnp.int32),
+            "current": jnp.zeros(C, jnp.int32),
+        }
+        self._est_fill = 0
+
+    def append(self, sym, valid, cost):
+        assert cost is not None, "viterbi needs demod costs"
+        self.state = deconv_append(self.plan, self.state, sym, valid,
+                                   cost)
+
+    def note_production(self, nsyms_min: int):
+        self._est_fill += nsyms_min
+
+    def sync_fill(self, fill: np.ndarray):
+        self._est_fill = int(fill.min())
+
+    def can_decode(self) -> bool:
+        return self._est_fill >= self.plan.needed
+
+    def decode(self):
+        self.state, by, discr, under = viterbi_decode(
+            self.plan, self.state, self.maps, interpret=self.interpret)
+        self._est_fill -= self.plan.consumed
+        return by, discr, under

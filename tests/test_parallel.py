@@ -124,6 +124,29 @@ def test_candidate_scan_elects_true_config():
     assert hits >= 50
 
 
+def test_multi_channel_viterbi_decodes_all():
+    """cfg.viterbi=True must route through the device Pallas/interpret
+    ACS bank (MultiViterbiSync), not fall back to algebraic
+    deconvolution, and still decode every channel's TS."""
+    nchan = 3
+    x, payloads = _stimulus(nchan, npackets=150)
+    rx = MultiDvbsReceiver(
+        RxConfig(Fs=4e6, Fm=2e6, rate="1/2", fastlock=True,
+                 float_scale=75.0, exact_lut=False, viterbi=True),
+        nchan, use_pallas=False)
+    from leansdr_tpu.fec.viterbi_device import MultiViterbiSync
+    assert isinstance(rx.deconv, MultiViterbiSync)
+    outs = [np.empty((0, 188), np.uint8)] * nchan
+    for i in range(0, x.shape[1], 1 << 16):
+        res = rx.process(x[:, i:i + (1 << 16)])
+        outs = [np.concatenate([a, b]) for a, b in zip(outs, res)]
+    for c in range(nchan):
+        assert len(outs[c]) >= 60, f"channel {c}: {len(outs[c])}"
+        hits = sum(1 for o in outs[c]
+                   if (payloads[c] == o).all(axis=1).any())
+        assert hits >= 0.95 * len(outs[c]), f"channel {c}"
+
+
 @pytest.mark.parametrize("rate", ["3/4", "7/8"])
 def test_multi_channel_punctured_rates(rate):
     """The batched deconvolver must handle punctured rates (multiple
