@@ -39,6 +39,9 @@ def usage(code=0, f=sys.stderr):
         "  --rrc-rej FLOAT         RRC filter rejection (default 30)\n"
         "  --roll-off FLOAT        RRC roll-off (default 0.35)\n"
         "  --hard-metric           Use Hamming metric\n"
+        "  --exact-lut             Bit-exact LUT decisions (default on CPU)\n"
+        "  --no-exact-lut          Computed decisions / Mosaic kernel "
+        "(default on TPU)\n"
         "  --fastlock              Synchronize more aggressively\n"
         "  --viterbi               Use Viterbi decoding\n"
         "  --hq                    --fastlock --viterbi --sampler rrc\n"
@@ -138,6 +141,10 @@ def parse_args(argv):
             cfg.rolloff = float(val())
         elif a == "--hard-metric":
             cfg.hard_metric = True
+        elif a == "--exact-lut":
+            cfg.exact_lut = True       # bit-exact LUT decision path
+        elif a == "--no-exact-lut":
+            cfg.exact_lut = False      # computed path (Mosaic kernel on TPU)
         elif a == "--fastlock":
             cfg.fastlock = True
         elif a == "--viterbi":

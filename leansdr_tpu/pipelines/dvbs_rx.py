@@ -26,6 +26,15 @@ TS_SIZE = 188
 RS_SIZE = 204
 
 
+def resolve_exact_lut(exact_lut: bool | None) -> bool:
+    """None = auto: bit-exact LUT path on CPU (golden comparisons), the
+    computed fast path on accelerators (unlocks the Mosaic kernel)."""
+    if exact_lut is not None:
+        return bool(exact_lut)
+    import jax
+    return jax.default_backend() == "cpu"
+
+
 @dataclass
 class RxConfig:
     Fs: float = 2.4e6
@@ -43,7 +52,10 @@ class RxConfig:
     rrc_rej: float = 30.0
     rrc_steps: int = 0
     rolloff: float = 0.35
-    exact_lut: bool = True
+    # None = auto: True (bit-exact trig16/256x256-LUT decision path) on the
+    # CPU backend, False (computed VPU path, enables the Mosaic kernel) on
+    # accelerators. CLI: --exact-lut / --no-exact-lut.
+    exact_lut: bool | None = None
     # Preprocessing chain (leandvb.cc:277-399):
     awgn: float = 0.0            # in-graph noise stddev (--awgn)
     anf: int = 0                 # number of auto-notch slots (--anf)
@@ -224,15 +236,28 @@ class DvbsReceiver:
         sampler = cfg.sampler
         rrc_coeffs = ()
         rrc_steps = 1
+        exact = resolve_exact_lut(cfg.exact_lut) or cfg.hard_metric
+        self.mf_taps = None
         if sampler == "rrc":
-            from ..dsp import filtergen
-            rrc_steps = cfg.rrc_steps or max(1, int(64 * cfg.Fm / Fs_eff))
-            Frrc = Fs_eff * rrc_steps
-            transition = (cfg.Fm / 2) * cfg.rolloff
-            order = int(cfg.rrc_rej * Frrc / (22 * transition))
-            rrc_coeffs = tuple(
-                filtergen.root_raised_cosine(order, cfg.Fm / Frrc,
-                                             cfg.rolloff).tolist())
+            if exact:
+                # Reference-exact polyphase fir_sampler (sdr.h:635-689)
+                # inside the XLA scan.
+                from ..dsp import filtergen
+                rrc_steps = cfg.rrc_steps or max(1, int(64 * cfg.Fm
+                                                        / Fs_eff))
+                Frrc = Fs_eff * rrc_steps
+                transition = (cfg.Fm / 2) * cfg.rolloff
+                order = int(cfg.rrc_rej * Frrc / (22 * transition))
+                rrc_coeffs = tuple(
+                    filtergen.root_raised_cosine(order, cfg.Fm / Frrc,
+                                                 cfg.rolloff).tolist())
+            else:
+                # Fast path: matched filter as a batched device conv,
+                # then the linear-sampler kernel (dsp/mf_prefilter.py).
+                from ..dsp import mf_prefilter
+                self.mf_taps = mf_prefilter.make_mf_taps(
+                    Fs_eff, cfg.Fm, cfg.rolloff, cfg.rrc_rej)
+                sampler = "linear"
         self.params = receiver.ReceiverParams(
             omega=omega,
             sampler=sampler,
@@ -243,7 +268,7 @@ class DvbsReceiver:
             freq0=cfg.Ftune / Fs_eff,
             rrc_coeffs=rrc_coeffs,
             rrc_steps=rrc_steps,
-            exact_lut=cfg.exact_lut or cfg.hard_metric,
+            exact_lut=exact,
         )
         self.tables = receiver.make_tables(cstln)
         self.state = receiver.init_state(self.params, 1)
@@ -252,9 +277,9 @@ class DvbsReceiver:
         if use_pallas is None:
             import jax
             use_pallas = (jax.default_backend() not in ("cpu",)
-                          and cfg.sampler == "linear"
+                          and self.params.sampler == "linear"
                           and not self.params.exact_lut)
-        self.use_pallas = bool(use_pallas) and cfg.sampler == "linear"
+        self.use_pallas = bool(use_pallas) and self.params.sampler == "linear"
         if self.use_pallas:
             from ..dsp import receiver_pallas as rp
             self._rp = rp
@@ -320,6 +345,8 @@ class DvbsReceiver:
         self.sample_backlog = np.concatenate([self.sample_backlog, iq])
 
         ra = self.params.readahead
+        if self.mf_taps is not None:
+            ra += len(self.mf_taps) - 1
         navail = len(self.sample_backlog) - ra
         K = navail // receiver.CHUNK
         if K <= 0:
@@ -329,6 +356,11 @@ class DvbsReceiver:
         self.sample_backlog = self.sample_backlog[n:]
 
         xd = jnp.asarray(x[None, :, :])                 # [1, n+ra, 2]
+        if self.mf_taps is not None:
+            from ..dsp.mf_prefilter import mf_prefilter
+            freqw = (self._planes[2].reshape(-1)[:1] if self.use_pallas
+                     else self.state["freqw"])
+            xd = mf_prefilter(self.mf_taps, freqw, xd)
         if self.use_pallas:
             self._planes, packed = self._rp.demod_pallas(
                 self.params, self._sym_consts, self._planes, xd)

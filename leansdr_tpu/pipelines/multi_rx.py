@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..dsp import receiver
-from .dvbs_rx import RxConfig, TS_SIZE, RS_SIZE
+from .dvbs_rx import RxConfig, TS_SIZE, RS_SIZE, resolve_exact_lut
 from ..dsp.cstln import make_dvbs2_constellation
 from ..fec import interleave, prbs, rs
 from ..fec.deconv_device import DeviceDeconvolver
@@ -195,21 +195,46 @@ class MultiDvbsReceiver:
         self.nchan = nchan
         cstln = make_dvbs2_constellation(cfg.constellation, cfg.rate)
         self.cstln = cstln
+        exact = resolve_exact_lut(cfg.exact_lut)
+        sampler = cfg.sampler
+        rrc_coeffs = ()
+        rrc_steps = 1
+        self.mf_taps = None
+        if sampler == "rrc":
+            if exact:
+                from ..dsp import filtergen
+                rrc_steps = cfg.rrc_steps or max(1, int(64 * cfg.Fm
+                                                        / cfg.Fs))
+                Frrc = cfg.Fs * rrc_steps
+                transition = (cfg.Fm / 2) * cfg.rolloff
+                order = int(cfg.rrc_rej * Frrc / (22 * transition))
+                rrc_coeffs = tuple(
+                    filtergen.root_raised_cosine(order, cfg.Fm / Frrc,
+                                                 cfg.rolloff).tolist())
+            else:
+                # Fast path: batched matched-filter conv, then the
+                # linear-sampler kernel (dsp/mf_prefilter.py).
+                from ..dsp import mf_prefilter
+                self.mf_taps = mf_prefilter.make_mf_taps(
+                    cfg.Fs, cfg.Fm, cfg.rolloff, cfg.rrc_rej)
+                sampler = "linear"
         self.params = receiver.ReceiverParams(
             omega=cfg.Fs / cfg.Fm,
-            sampler=cfg.sampler,
+            sampler=sampler,
             nsymbols=cstln.nsymbols,
             freq0=cfg.Ftune / cfg.Fs,
-            exact_lut=cfg.exact_lut,
+            exact_lut=exact,
+            rrc_coeffs=rrc_coeffs,
+            rrc_steps=rrc_steps,
             pll_adjustment=(1.0 / 6 if cfg.viterbi else 1.0),
         )
         self.tables = receiver.make_tables(cstln)
         self.state = receiver.init_state(self.params, nchan)
         if use_pallas is None:
             use_pallas = (jax.default_backend() != "cpu"
-                          and cfg.sampler == "linear"
+                          and self.params.sampler == "linear"
                           and not self.params.exact_lut)
-        self.use_pallas = use_pallas
+        self.use_pallas = use_pallas and self.params.sampler == "linear"
         if use_pallas:
             from ..dsp import receiver_pallas as rp
             self._rp = rp
@@ -235,6 +260,9 @@ class MultiDvbsReceiver:
                                         on_next_sync=on_next)
         self.sample_backlog = np.empty((nchan, 0, 2), np.float32)
         self._pool = None
+        self._fetch_pool = None
+        self._backend_pool = None
+        self._jobs = None
 
     # -- streaming API ----------------------------------------------------
 
@@ -256,6 +284,8 @@ class MultiDvbsReceiver:
         """Enqueue device work for one chunk; returns a pending handle
         (device arrays) or None if not enough samples buffered."""
         ra = self.params.readahead
+        if self.mf_taps is not None:
+            ra += len(self.mf_taps) - 1
         if isinstance(iq, jnp.ndarray) and not isinstance(iq, np.ndarray) \
                 and self.sample_backlog.shape[1] == 0 \
                 and (iq.shape[1] - ra) % receiver.CHUNK == 0:
@@ -272,6 +302,12 @@ class MultiDvbsReceiver:
             n = K * receiver.CHUNK
             x = jnp.asarray(self.sample_backlog[:, :n + ra])
             self.sample_backlog = self.sample_backlog[:, n:]
+
+        if self.mf_taps is not None:
+            from ..dsp.mf_prefilter import mf_prefilter
+            freqw = (self._planes[2].reshape(-1)[:self.nchan]
+                     if self.use_pallas else self.state["freqw"])
+            x = mf_prefilter(self.mf_taps, freqw, x)
 
         want_cost = self.viterbi
         if self.use_pallas:
@@ -334,6 +370,50 @@ class MultiDvbsReceiver:
             np.concatenate(p) if p else np.empty(0, np.uint8)
             for p in per_chan]
         return self.backend.feed(bytes_by_chan)
+
+    # -- software-pipelined streaming --------------------------------------
+    #
+    # Three overlapped stages, one chunk deep each (P7: the reference's
+    # process pipeline, leanmlmrx.cc:54-78, as host threads around one
+    # device stream):
+    #   main thread:    dispatch (async device enqueue)
+    #   fetch thread:   device->host link transfer of the packed bytes
+    #   backend thread: MPEG framing / deinterleave / RS / derandomize
+    # Safe because dispatch's can_decode() uses the conservative
+    # note_production watermark; collect()'s sync_fill only raises it.
+
+    max_inflight = 3     # pipeline depth: bounds queued device buffers
+
+    def submit(self, iq) -> list:
+        """Enqueue one chunk; return the TS outputs of any chunks whose
+        backend completed (a list of per-channel packet-array lists).
+        Blocks only when more than `max_inflight` chunks are in flight
+        (backpressure keeps device/link queues shallow)."""
+        if self._jobs is None:
+            from collections import deque
+            from concurrent.futures import ThreadPoolExecutor
+            self._fetch_pool = ThreadPoolExecutor(1)
+            self._backend_pool = ThreadPoolExecutor(1)
+            self._jobs = deque()
+        pend = self.dispatch(iq)
+        if pend is not None:
+            packed_out, shapes = pend
+            fut = self._fetch_pool.submit(np.asarray, packed_out)
+            self._jobs.append(
+                self._backend_pool.submit(self.collect, (fut, shapes)))
+        done = []
+        while self._jobs and (self._jobs[0].done()
+                              or len(self._jobs) > self.max_inflight):
+            done.append(self._jobs.popleft().result())
+        return done
+
+    def flush(self) -> list:
+        """Wait for all in-flight chunks; return their TS outputs."""
+        if not self._jobs:
+            return []
+        done = [j.result() for j in self._jobs]
+        self._jobs.clear()
+        return done
 
     @property
     def locks(self):

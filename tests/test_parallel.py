@@ -147,6 +147,32 @@ def test_multi_channel_viterbi_decodes_all():
         assert hits >= 0.95 * len(outs[c]), f"channel {c}"
 
 
+def test_multi_channel_pipelined_submit_matches_process():
+    """submit()/flush() (threaded fetch + backend) must decode the same
+    packets as the synchronous process() path."""
+    nchan = 2
+    x, payloads = _stimulus(nchan, npackets=120)
+    cfg = RxConfig(Fs=4e6, Fm=2e6, rate="1/2", fastlock=True,
+                   float_scale=75.0, exact_lut=False)
+    outs = {}
+    for mode in ("sync", "pipe"):
+        rx = MultiDvbsReceiver(cfg, nchan, use_pallas=False)
+        acc = [np.empty((0, 188), np.uint8)] * nchan
+        for i in range(0, x.shape[1], 1 << 16):
+            chunk = x[:, i:i + (1 << 16)]
+            batches = ([rx.process(chunk)] if mode == "sync"
+                       else rx.submit(chunk))
+            for res in batches:
+                acc = [np.concatenate([a, b]) for a, b in zip(acc, res)]
+        if mode == "pipe":
+            for res in rx.flush():
+                acc = [np.concatenate([a, b]) for a, b in zip(acc, res)]
+        outs[mode] = acc
+    for c in range(nchan):
+        assert len(outs["pipe"][c]) >= 60
+        np.testing.assert_array_equal(outs["sync"][c], outs["pipe"][c])
+
+
 @pytest.mark.parametrize("rate", ["3/4", "7/8"])
 def test_multi_channel_punctured_rates(rate):
     """The batched deconvolver must handle punctured rates (multiple

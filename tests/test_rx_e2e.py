@@ -134,3 +134,41 @@ def test_viterbi_path_decodes():
     out = _decode_stream(rx, iq)
     m = _match_indices(pkts, out)
     assert (m >= 0).sum() >= 80, (m >= 0).sum()
+
+
+def test_fast_rrc_mf_prefilter_decodes():
+    """sampler=rrc with the computed fast path must route through the
+    matched-filter prefilter + linear-sampler demod (dsp/mf_prefilter.py)
+    and decode the stream (VERDICT r1 item 3: --hq must have a fast
+    path)."""
+    pkts = tsgen.generate(160)
+    iq = dvbs_tx.modulate(pkts, dvbs_tx.TxConfig(rate="1/2", interp=2))
+    rx = DvbsReceiver(RxConfig(Fs=4e6, Fm=2e6, rate="1/2", fastlock=True,
+                               float_scale=75.0, exact_lut=False,
+                               sampler="rrc"))
+    assert rx.mf_taps is not None and rx.params.sampler == "linear"
+    out = _decode_stream(rx, iq)
+    m = _match_indices(pkts, out)
+    assert (m >= 0).sum() >= 100, (m >= 0).sum()
+
+
+def test_cli_reaches_mosaic_kernel_on_tpu(monkeypatch):
+    """The production CLI surface must select the Pallas kernel on a TPU
+    backend — both the default config and --hq (VERDICT r1 item 3)."""
+    import jax
+    from leansdr_tpu.apps.leandvb import parse_args
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    cfg, _ = parse_args(["--f32", "-f", "4e6", "--sr", "2e6",
+                         "--fastlock", "--anf", "0"])
+    assert DvbsReceiver(cfg).use_pallas
+
+    cfg, _ = parse_args(["--f32", "-f", "4e6", "--sr", "2e6",
+                         "--hq", "--anf", "0"])
+    rx = DvbsReceiver(cfg)
+    assert rx.use_pallas and rx.mf_taps is not None
+
+    # --exact-lut forces the bit-exact scan path even on TPU.
+    cfg, _ = parse_args(["--f32", "-f", "4e6", "--sr", "2e6",
+                         "--exact-lut", "--anf", "0"])
+    assert not DvbsReceiver(cfg).use_pallas
