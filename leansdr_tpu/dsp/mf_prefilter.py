@@ -55,22 +55,25 @@ def mf_prefilter(taps: tuple, freqw: jnp.ndarray, x: jnp.ndarray):
     (u16 units/sample); taps are rotated by exp(-i*w*(j - ntaps//2)) so
     the filter passband tracks each channel's carrier (sdr.h:676-681).
     """
-    c = jnp.asarray(np.asarray(taps, np.float32))
+    c = np.asarray(taps, np.float32)
     ntaps = c.shape[0]
-    C = x.shape[0]
     n = x.shape[1] - (ntaps - 1)
-    j = jnp.arange(ntaps, dtype=jnp.float32) - (ntaps // 2)
-    ang = -(freqw[:, None] / 65536.0) * (2 * np.pi) * j[None, :]
-    cr = c[None, :] * jnp.cos(ang)                      # [C, ntaps]
-    ci = c[None, :] * jnp.sin(ang)
-    # Grouped conv: C groups, 2 real channels each; out = rot_taps (*) x
-    # as the 2x2 real form of complex correlation sum_j c[j] * x[t+j].
-    lhs = x.transpose(0, 2, 1).reshape(1, 2 * C, -1)    # [1, 2C, n+ntaps-1]
-    rhs = jnp.zeros((2 * C, 2, ntaps), jnp.float32)
-    rhs = rhs.at[0::2, 0].set(cr).at[0::2, 1].set(-ci)
-    rhs = rhs.at[1::2, 0].set(ci).at[1::2, 1].set(cr)
-    z = jax.lax.conv_general_dilated(
-        lhs, rhs, window_strides=(1,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        feature_group_count=C)                          # [1, 2C, n]
-    return z.reshape(2 * C, n).reshape(C, 2, n).transpose(0, 2, 1)
+    j = np.arange(ntaps, dtype=np.float32) - (ntaps // 2)
+    ang = -(freqw[:, None] / 65536.0) * (2 * np.pi) * jnp.asarray(j)[None]
+    cr = jnp.asarray(c)[None, :] * jnp.cos(ang)         # [C, ntaps]
+    ci = jnp.asarray(c)[None, :] * jnp.sin(ang)
+    # Unrolled shift-and-add over the (few) taps: each term is one
+    # elementwise FMA on a [C, n] plane — XLA fuses the whole sum into a
+    # single VPU pass (a grouped conv here tiles the 2-wide channel
+    # groups onto 128-lane registers and pads HBM 64-128x).
+    xr, xi = x[:, :, 0], x[:, :, 1]
+    zr = jnp.zeros((x.shape[0], n), jnp.float32)
+    zi = zr
+    for k in range(ntaps):
+        wr = cr[:, k:k + 1]
+        wi = ci[:, k:k + 1]
+        sr = xr[:, k:k + n]
+        si = xi[:, k:k + n]
+        zr = zr + wr * sr - wi * si
+        zi = zi + wr * si + wi * sr
+    return jnp.stack([zr, zi], axis=-1)

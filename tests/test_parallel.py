@@ -192,3 +192,40 @@ def test_multi_channel_punctured_rates(rate):
         hits = sum(1 for o in outs[c]
                    if (payloads[c] == o).all(axis=1).any())
         assert hits >= 60, f"channel {c}: {hits} of {len(outs[c])}"
+
+
+def test_time_sharded_ring_demod_exact_state_handoff():
+    """parallel/timeshard.py: D streams' blocks laid out diagonally over
+    the ring, loop state ppermuted between sequential block owners each
+    superstep. The recurrence must be honored EXACTLY: symbols identical
+    to the unsharded batched run (exact_lut deterministic path)."""
+    import jax.numpy as jnp
+    from leansdr_tpu.parallel import halo, timeshard
+
+    D = 8
+    x, _ = _stimulus(D, npackets=40)
+    params = receiver.ReceiverParams(omega=2.0, sampler="linear",
+                                     nsymbols=4, exact_lut=True)
+    cstln = make_dvbs2_constellation(Predef.QPSK, "1/2")
+    tables = receiver.make_tables(cstln)
+    B = 16 * receiver.CHUNK
+    ra = params.readahead
+    n = (x.shape[1] - ra) // B * B
+    xs = (x[:, :n + ra] * 75.0).astype(np.float32)
+
+    st1, out1 = receiver.run_chunks(params, tables,
+                                    receiver.init_state(params, D),
+                                    jnp.asarray(xs))
+
+    m = halo.make_time_mesh(jax.devices())
+    fn = timeshard.ring_stream_demod(params, m)
+    ins = timeshard.diagonal_layout(xs, B, ra)
+    stF, outs = fn(tables, receiver.init_state(params, D),
+                   jnp.asarray(ins))
+    S = n // B
+    sym = timeshard.undiagonal(np.asarray(outs["symbol"]), D)
+    val = timeshard.undiagonal(np.asarray(outs["valid"]), D)
+    np.testing.assert_array_equal(sym.reshape(D, n),
+                                  np.asarray(out1["symbol"])[:, :n])
+    np.testing.assert_array_equal(val.reshape(D, n),
+                                  np.asarray(out1["valid"])[:, :n])
