@@ -84,8 +84,11 @@ def _chain_bench():
             best = min(best, time.perf_counter() - t0)
         return best
 
-    for _ in range(8):                 # compile all decode-count variants
-        rx.dispatch(wins[_ % nwin])
+    for _ in range(8):
+        # Full process() warmup: compiles all decode-count variants AND
+        # feeds observe() so the Viterbi bank reaches TRACK mode, the
+        # production steady state (fec/viterbi_device.py).
+        rx.process(wins[_ % nwin])
     run(1)
     marginal = max((run(5) - run(1)) / 4, 1e-9)
     return NCHAN_CHAIN * CH / marginal / 1e6

@@ -79,17 +79,12 @@ class Rotator:
         from .math_utils import trig16_table
         self.ifreq = int(freq * 65536)
         self.index = 0
-        lut = trig16_table()
-        i = np.arange(65536)
-        ang = (2 * np.pi * (i * self.ifreq) / 65536).astype(np.float32)
-        self.lut_cos = np.cos(ang).astype(np.float32)
-        self.lut_sin = np.sin(ang).astype(np.float32)
+        self._trig = trig16_table()          # shared [65536, 2] table
 
     def process(self, x: np.ndarray) -> np.ndarray:
         n = len(x)
-        idx = (self.index + np.arange(n)) & 0xFFFF
-        c = self.lut_cos[idx]
-        s = self.lut_sin[idx]
+        e = self._trig[((self.index + np.arange(n)) * self.ifreq) & 0xFFFF]
+        c, s = e[:, 0], e[:, 1]
         self.index = (self.index + n) & 0xFFFF
         return ((x.real * c - x.imag * s)
                 + 1j * (x.real * s + x.imag * c)).astype(np.complex64)

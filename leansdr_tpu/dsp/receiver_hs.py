@@ -181,12 +181,20 @@ def run_chunks_hs(params: HsParams, tables, state, x):
 
         st = dict(st, mu=mu, phase=phase, freqw=freqw,
                   hist_p=new_hp, hist_c=new_hc)
-        last = last   # (cstln_out omitted; add when wiring --fd-const --hs)
+        # cstln_out (sdr.h:1120-1122): remember the last interpolated
+        # u8 point; one per chunk is emitted below.
+        last = (jnp.where(emit, s_re, last[0]),
+                jnp.where(emit, s_im, last[1]),
+                last[2] | emit)
         return (st, last), (sym.astype(jnp.uint8), emit)
 
     def chunk_step(state, xc):
-        (state, _), (sym, valid) = jax.lax.scan(
-            sample_step, (state, 0), (xc[:, :, 0], xc[:, :, 1]), unroll=8)
+        C_ = state["mu"].shape[0]
+        last0 = (jnp.zeros(C_, jnp.int32), jnp.zeros(C_, jnp.int32),
+                 jnp.zeros(C_, bool))
+        (state, last), (sym, valid) = jax.lax.scan(
+            sample_step, (state, last0), (xc[:, :, 0], xc[:, :, 1]),
+            unroll=8)
         freqw = state["freqw"]
         if not params.allow_drift:
             bad = (freqw < min_freqw) | (freqw > max_freqw)
@@ -195,14 +203,19 @@ def run_chunks_hs(params: HsParams, tables, state, x):
         nmeas = (meas_count // params.meas_decimation).astype(jnp.int32)
         meas_count = meas_count % params.meas_decimation
         state = dict(state, freqw=freqw, meas_count=meas_count)
-        return state, (sym, valid, freqw.astype(jnp.float32) / 65536, nmeas)
+        sampled = jnp.stack([last[0], last[1]], -1)       # [C, 2] u8
+        return state, (sym, valid, freqw.astype(jnp.float32) / 65536,
+                       nmeas, sampled, last[2])
 
     pin0 = x[:, :nsamp]
     pin1 = x[:, 1:nsamp + 1]
     pairs = jnp.stack([pin0, pin1], axis=2)
     xs = pairs.transpose(1, 0, 2, 3).reshape(K, CHUNK, C, 2, 2)
-    state, (sym, valid, freq, nmeas) = jax.lax.scan(chunk_step, state, xs)
+    state, (sym, valid, freq, nmeas, sampled, samp_ok) = jax.lax.scan(
+        chunk_step, state, xs)
     sym = sym.transpose(2, 0, 1).reshape(C, nsamp)
     valid = valid.transpose(2, 0, 1).reshape(C, nsamp)
     return state, dict(symbol=sym, valid=valid,
-                       freq=freq.T, nmeas=nmeas.T)
+                       freq=freq.T, nmeas=nmeas.T,
+                       sampled=sampled.transpose(1, 0, 2),
+                       sampled_ok=samp_ok.T)

@@ -241,6 +241,10 @@ class ViterbiPlan:
     E: int                  # sub-blocks per decode()
     cap: int                # symbol ring capacity
     store_costs: bool = True
+    # nsyncs=1 is TRACK mode: only each channel's elected sync replica
+    # runs (the TPU analogue of the reference's resync_period gating,
+    # dvb.h:1241 — replicas cost lane slabs here instead of CPU time).
+    nsyncs: int = NSYNCS
 
     @property
     def nblocks(self) -> int:
@@ -261,7 +265,7 @@ class ViterbiPlan:
 
     @property
     def n_lanes(self) -> int:
-        return -(-(self.nchan * NSYNCS) // LANES) * LANES
+        return -(-(self.nchan * self.nsyncs) // LANES) * LANES
 
 
 @partial(jax.jit, static_argnames=("plan", "maps", "interpret"))
@@ -282,20 +286,33 @@ def viterbi_decode(plan: ViterbiPlan, state, maps, interpret=False):
     # Per-sync block inputs (dvb.h:1353-1363): block b of sync s reads
     # symbols [b*ns + shift_s, +ns), maps them, concatenates bits and
     # sums costs. QPSK-class: ns == 1, shift == 0 for all 4 syncs.
-    cs_list = []
     cost_b = win_cost[:T]
     sym = win_sym[:T].astype(jnp.int32)
-    for s in range(NSYNCS):
-        m = jnp.zeros(sym.shape, jnp.int32)
-        for v in range(len(maps[s])):
-            m = jnp.where(sym == v, np.int32(maps[s][v]), m)
-        cs_list.append(m)
-    cs = jnp.stack(cs_list, axis=2)                 # [T, C, 4]
-    cost4 = jnp.broadcast_to(cost_b[:, :, None], cs.shape)
+    nsym = len(maps[0])
+    track = plan.nsyncs == 1
+    if track:
+        # Only the elected sync per channel: map selected by tsync.
+        maps_arr = jnp.asarray(np.asarray(maps, np.int32))   # [4, nsym]
+        msel = maps_arr[state["tsync"]]                      # [C, nsym]
+        cs = jnp.zeros(sym.shape, jnp.int32)
+        for v in range(nsym):
+            cs = jnp.where(sym == v, msel[None, :, v], cs)   # [T, C]
+        cost4 = cost_b
+        ncols = C
+    else:
+        cs_list = []
+        for s in range(NSYNCS):
+            m = jnp.zeros(sym.shape, jnp.int32)
+            for v in range(nsym):
+                m = jnp.where(sym == v, np.int32(maps[s][v]), m)
+            cs_list.append(m)
+        cs = jnp.stack(cs_list, axis=2)                 # [T, C, 4]
+        cost4 = jnp.broadcast_to(cost_b[:, :, None], cs.shape)
+        ncols = C * NSYNCS
 
-    pad = plan.n_lanes - C * NSYNCS
-    csf = cs.reshape(T, C * NSYNCS)
-    costf = cost4.reshape(T, C * NSYNCS)
+    pad = plan.n_lanes - ncols
+    csf = cs.reshape(T, ncols)
+    costf = cost4.reshape(T, ncols)
     if pad:
         csf = jnp.pad(csf, ((0, 0), (0, pad)))
         costf = jnp.pad(costf, ((0, 0), (0, pad)))
@@ -303,34 +320,43 @@ def viterbi_decode(plan: ViterbiPlan, state, maps, interpret=False):
     m2, p2, us, q = viterbi_acs(plan.rate, state["metric"],
                                 state["path"], csf, costf,
                                 interpret=interpret)
-    us = us[:, :C * NSYNCS].reshape(T, C, NSYNCS)
-    q = q[:, :C * NSYNCS].reshape(T, C, NSYNCS)
+    us = us[:, :ncols].reshape(T, C, plan.nsyncs)
+    q = q[:, :ncols].reshape(T, C, plan.nsyncs)
 
     # Election: per-sub-block discriminant sums, strictly-greater switch
     # applied AFTER each sub-block (dvb.h:1380-1412; discr_delay skip of
     # the first 64/bits_in blocks approximated at sub-block starts).
     dd = 64 // bits_in
-    qs = q.reshape(E, P_SUB, C, NSYNCS)
-    qsum = qs[:, dd:].sum(axis=1)                   # [E, C, 4]
+    qs = q.reshape(E, P_SUB, C, plan.nsyncs)
+    qsum = qs[:, dd:].sum(axis=1)                   # [E, C, nsyncs]
 
-    def elect(cur, qk):
-        best = jnp.argmax(qk, axis=1).astype(jnp.int32)        # [C]
-        bv = jnp.take_along_axis(qk, best[:, None], axis=1)[:, 0]
-        cv = jnp.take_along_axis(qk, cur[:, None], axis=1)[:, 0]
-        new = jnp.where(bv > cv, best, cur)
-        return new, cur                              # emit pre-update
+    if track:
+        cur_out = state["current"]
+        bits = us.reshape(T, C).T.astype(jnp.uint8)
+        dsel = qsum[:, :, 0].T                      # [C, E]
+    else:
+        def elect(cur, qk):
+            best = jnp.argmax(qk, axis=1).astype(jnp.int32)    # [C]
+            bv = jnp.take_along_axis(qk, best[:, None], axis=1)[:, 0]
+            cv = jnp.take_along_axis(qk, cur[:, None], axis=1)[:, 0]
+            new = jnp.where(bv > cv, best, cur)
+            return new, cur                          # emit pre-update
 
-    cur_out, elected = jax.lax.scan(elect, state["current"], qsum)
-    # elected [E, C]: sync whose bits are emitted for each sub-block.
-    use = us.reshape(E, P_SUB, C, NSYNCS)
-    sel = jnp.take_along_axis(
-        use, elected[:, None, :, None], axis=3)[:, :, :, 0]
-    bits = sel.reshape(T, C).T.astype(jnp.uint8)     # [C, T] (bits_in=1)
+        cur_out, elected = jax.lax.scan(elect, state["current"], qsum)
+        # elected [E, C]: sync whose bits are emitted per sub-block.
+        use = us.reshape(E, P_SUB, C, NSYNCS)
+        sel = jnp.take_along_axis(
+            use, elected[:, None, :, None], axis=3)[:, :, :, 0]
+        bits = sel.reshape(T, C).T.astype(jnp.uint8)   # [C, T]
+        dsel = jnp.take_along_axis(
+            qsum, elected[:, :, None], axis=2)[:, :, 0].T  # [C, E]
     w = jnp.asarray((1 << np.arange(7, -1, -1)).astype(np.int32))
     by = jnp.sum(bits.reshape(C, T // 8, 8) * w, axis=2,
                  dtype=jnp.int32).astype(jnp.uint8)
-    dsel = jnp.take_along_axis(
-        qsum, elected[:, :, None], axis=2)[:, :, 0].T  # [C, E]
+    # The fleet's elected sync indices ride in the last discr column so
+    # the host observes elections without an extra fetch.
+    dsel = jnp.concatenate(
+        [dsel, (state["tsync"] if track else cur_out)[:, None]], axis=1)
 
     Sc = plan.consumed
     buf = jnp.concatenate(
@@ -341,6 +367,27 @@ def viterbi_decode(plan: ViterbiPlan, state, maps, interpret=False):
                fill=jnp.maximum(state["fill"] - Sc, 0),
                metric=m2, path=p2, current=cur_out)
     return new, by, dsel, underflow
+
+
+@partial(jax.jit, static_argnames=("C", "n_trk"))
+def _planes_to_track(metric, path, current, C: int, n_trk: int):
+    """Keep only each channel's elected sync replica's trellis state."""
+    cols = jnp.arange(C, dtype=jnp.int32) * NSYNCS + current
+    m = jnp.zeros((64, n_trk), metric.dtype).at[:, :C].set(
+        metric[:, cols])
+    p = jnp.zeros((64, n_trk), path.dtype).at[:, :C].set(path[:, cols])
+    return m, p
+
+
+@partial(jax.jit, static_argnames=("C", "n_acq"))
+def _planes_to_acquire(metric, path, C: int, n_acq: int):
+    """Seed all 4 replicas from the tracked trellis state (they diverge
+    within one traceback depth, like the reference's fresh replicas)."""
+    m = jnp.zeros((64, n_acq), metric.dtype).at[:, :C * NSYNCS].set(
+        jnp.repeat(metric[:, :C], NSYNCS, axis=1))
+    p = jnp.zeros((64, n_acq), path.dtype).at[:, :C * NSYNCS].set(
+        jnp.repeat(path[:, :C], NSYNCS, axis=1))
+    return m, p
 
 
 class MultiViterbiSync:
@@ -368,6 +415,8 @@ class MultiViterbiSync:
         E = max(1, prod // P_SUB)
         cap = E * P_SUB + prod + nsamp + DELTA_MAX + 8192
         self.plan = ViterbiPlan(rate, nchan, nsamp, nshifts, E, cap)
+        self.plan_track = ViterbiPlan(rate, nchan, nsamp, nshifts, E,
+                                      cap, nsyncs=1)
         self.interpret = (jax.default_backend() == "cpu"
                           if interpret is None else interpret)
         C = nchan
@@ -379,8 +428,20 @@ class MultiViterbiSync:
             "metric": jnp.zeros((64, N), jnp.int32),
             "path": jnp.zeros((64, N), jnp.int32),
             "current": jnp.zeros(C, jnp.int32),
+            "tsync": jnp.zeros(C, jnp.int32),
         }
         self._est_fill = 0
+        # TRACK-mode policy (host side, fed by observe() from the
+        # fetched discriminants — one chunk of lag, no extra round
+        # trip): enter after `track_after` consecutive decodes with a
+        # fleet-wide stable election; leave when any channel's tracked
+        # discriminant falls below a quarter of its entry level.
+        self.track = False
+        self.track_after = 2
+        self._want_track = False
+        self._last_cur = None
+        self._stable = 0
+        self._entry_d = None
 
     def append(self, sym, valid, cost):
         assert cost is not None, "viterbi needs demod costs"
@@ -397,7 +458,46 @@ class MultiViterbiSync:
         return self._est_fill >= self.plan.needed
 
     def decode(self):
+        C = self.plan.nchan
+        if self._want_track != self.track:
+            st = self.state
+            if self._want_track:
+                m, p = _planes_to_track(st["metric"], st["path"],
+                                        st["current"], C,
+                                        self.plan_track.n_lanes)
+                self.state = dict(st, metric=m, path=p,
+                                  tsync=st["current"])
+            else:
+                m, p = _planes_to_acquire(st["metric"], st["path"], C,
+                                          self.plan.n_lanes)
+                self.state = dict(st, metric=m, path=p,
+                                  current=st["tsync"])
+            self.track = self._want_track
+        plan = self.plan_track if self.track else self.plan
         self.state, by, discr, under = viterbi_decode(
-            self.plan, self.state, self.maps, interpret=self.interpret)
-        self._est_fill -= self.plan.consumed
+            plan, self.state, self.maps, interpret=self.interpret)
+        self._est_fill -= plan.consumed
         return by, discr, under
+
+    def observe(self, discr: np.ndarray, under: np.ndarray):
+        """Host feedback from a fetched decode: discr [C, E+1] i32 with
+        the elected sync index in the last column. Drives the
+        ACQUIRE<->TRACK transition (see __init__)."""
+        if under.any():
+            return
+        cur = discr[:, -1]
+        d = discr[:, :-1].mean(axis=1)
+        if self.track or self._want_track:
+            if (d < 0.25 * self._entry_d).any():
+                self._want_track = False
+                self._stable = 0
+                self._last_cur = None
+        else:
+            if self._last_cur is not None and (cur == self._last_cur).all():
+                self._stable += 1
+            else:
+                self._stable = 0
+            self._last_cur = cur.copy()
+            if self._stable >= self.track_after and (d > 0).all():
+                self._want_track = True
+                self._entry_d = d.copy()

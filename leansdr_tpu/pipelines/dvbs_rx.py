@@ -222,9 +222,18 @@ class DvbsReceiver:
             order = ((order + 1) // 2) * 2
             fcut = (cfg.Fm / 2) * (1 + cfg.rolloff / 2) / cfg.Fs
             coeffs = filtergen.lowpass(order, fcut)
-            self.resampler = blocks.FirFilter(
-                coeffs, decim,
-                freq_tol=cfg.Fm / (cfg.Fs * decim) * 0.1)
+            ftol = cfg.Fm / (cfg.Fs * decim) * 0.1
+            import jax
+            if jax.default_backend() != "cpu":
+                # Resample at the ingest rate on device: the Mosaic
+                # complex-FIR kernel (dsp/fir_pallas.py) with SMEM taps,
+                # so carrier re-modulation never recompiles.
+                from ..dsp.fir_pallas import FirFilterDevice
+                self.resampler = FirFilterDevice(coeffs, decim,
+                                                 freq_tol=ftol)
+            else:
+                self.resampler = blocks.FirFilter(coeffs, decim,
+                                                  freq_tol=ftol)
             Fs_eff = cfg.Fs / decim
         elif cfg.decim and cfg.decim > 1:
             decim = cfg.decim
@@ -281,15 +290,19 @@ class DvbsReceiver:
                           and not self.params.exact_lut)
         self.use_pallas = bool(use_pallas) and self.params.sampler == "linear"
         if self.use_pallas:
+            import jax
             from ..dsp import receiver_pallas as rp
             self._rp = rp
             self._sym_consts = rp.sym_constants(cstln)
             self._planes = rp.pack_state(self.state)
+            self._interpret = jax.default_backend() == "cpu"
 
         if cfg.hs:
             from ..dsp import receiver_hs
             self.hs_params = receiver_hs.HsParams(
-                omega=omega, freq0=cfg.Ftune / Fs_eff)
+                omega=omega, freq0=cfg.Ftune / Fs_eff,
+                meas_decimation=(int(Fs_eff / cfg.Finfo)
+                                 if cfg.Finfo else 1 << 20))
             self.hs_tables = receiver_hs.hs_tables()
             self.hs_state = receiver_hs.init_state(self.hs_params, 1)
             self.deconv = _DeconvolSyncHS(cfg.fastlock)
@@ -363,7 +376,8 @@ class DvbsReceiver:
             xd = mf_prefilter(self.mf_taps, freqw, xd)
         if self.use_pallas:
             self._planes, packed = self._rp.demod_pallas(
-                self.params, self._sym_consts, self._planes, xd)
+                self.params, self._sym_consts, self._planes, xd,
+                interpret=self._interpret)
             word, cword = self._rp.pack_outputs(packed, 1,
                                                 want_cost=self.cfg.viterbi)
             sym, valid_m = self._rp.unpack_sym3(word, n)
@@ -406,6 +420,13 @@ class DvbsReceiver:
         syms = np.asarray(out["symbol"][0])[valid]
         for k in np.nonzero(np.asarray(out["nmeas"][0]))[0]:
             self.meas["freq"].append(float(out["freq"][0, k]))
+        if self.cfg.want_const:
+            # cstln_out (fast_qpsk_receiver, sdr.h:1120-1122): one
+            # interpolated point per chunk, u8-centered -> centered.
+            ok = np.asarray(out["sampled_ok"][0])
+            sp = np.asarray(out["sampled"][0])[ok] - 128
+            self.sampled_points.extend((float(p[0]), float(p[1]))
+                                       for p in sp[-64:])
         bytes_out = self.deconv.process(syms)
         return self._byte_stages(bytes_out)
 
@@ -517,6 +538,18 @@ class DvbsReceiver:
         import numpy as np
         dev = ({k: np.asarray(v) for k, v in self.state.items()}
                if not self.use_pallas else np.asarray(self._planes))
+        aux = {}
+        if self.cfg.hs:
+            aux["hs_state"] = {k: np.asarray(v)
+                               for k, v in self.hs_state.items()}
+        if self.cfg.hdlc:
+            aux["etr_state"] = self.etr_state
+            aux["hdlc_sync"] = self.hdlc_sync.__dict__
+        for name in ("notch", "derot", "cnr_est", "spectrum",
+                     "resampler"):
+            blk = getattr(self, name, None)
+            if blk is not None:
+                aux[name] = blk.__dict__
         return pickle.dumps({
             "dev": dev,
             "use_pallas": self.use_pallas,
@@ -524,6 +557,8 @@ class DvbsReceiver:
             "byte_backlog": self.byte_backlog,
             "mpegbyte_backlog": self.mpegbyte_backlog,
             "derand_pos": self.derand_pos,
+            "first_derand": self.first_derand,
+            "noise_draws": self.noise_draws,
             "deconv": self.deconv.__dict__ if hasattr(
                 self.deconv, "__dict__") else None,
             "mpeg": {k: v for k, v in self.mpeg.__dict__.items()
@@ -531,6 +566,7 @@ class DvbsReceiver:
             "vbitcount": self.vbitcount,
             "verrcount": self.verrcount,
             "meas": self.meas,
+            "aux": aux,
         })
 
     def load_state(self, blob: bytes) -> None:
@@ -551,6 +587,19 @@ class DvbsReceiver:
         self.mpeg.__dict__.update(d["mpeg"])
         self.vbitcount = d["vbitcount"]
         self.verrcount = d["verrcount"]
+        self.first_derand = d.get("first_derand", self.first_derand)
+        self.noise_draws = d.get("noise_draws", self.noise_draws)
+        aux = d.get("aux", {})
+        if "hs_state" in aux:
+            self.hs_state = {k: jnp.asarray(v)
+                             for k, v in aux["hs_state"].items()}
+        if "etr_state" in aux:
+            self.etr_state = aux["etr_state"]
+            self.hdlc_sync.__dict__.update(aux["hdlc_sync"])
+        for name in ("notch", "derot", "cnr_est", "spectrum",
+                     "resampler"):
+            if name in aux and getattr(self, name, None) is not None:
+                getattr(self, name).__dict__.update(aux[name])
         self.meas = d["meas"]
 
     def stats(self) -> dict:

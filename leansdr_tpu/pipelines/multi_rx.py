@@ -240,6 +240,7 @@ class MultiDvbsReceiver:
             self._rp = rp
             self._sym_consts = rp.sym_constants(cstln)
             self._planes = rp.pack_state(self.state)
+            self._interpret = jax.default_backend() == "cpu"
         self.rate = "4/6" if cfg.rate == "2/3" else cfg.rate
         self.omega = cfg.Fs / cfg.Fm
 
@@ -263,6 +264,23 @@ class MultiDvbsReceiver:
         self._fetch_pool = None
         self._backend_pool = None
         self._jobs = None
+
+        # Fleet preprocessing (leandvb.cc:277-399) — batched device FFTs
+        # over all channels (dsp/blocks_device.py), host FSMs at block
+        # rate only.
+        from ..dsp import blocks_device as bd
+        self.notch = (bd.BatchedAutoNotch(nchan, cfg.anf)
+                      if cfg.anf else None)
+        self.cnr_est = (bd.BatchedCnrFft(nchan, cfg.Fm / cfg.Fs)
+                        if cfg.cnr else None)
+        if self.cnr_est:
+            self.cnr_est.decimation = max(int(cfg.Fs), 1)
+        self.spectrum = (bd.BatchedSpectrum(nchan)
+                         if cfg.want_spectrum else None)
+        if self.spectrum:
+            self.spectrum.decimation = max(int(cfg.Fs), 1)
+        self.cnr = []                  # [C] vectors, ~1 Hz
+        self.spectrum_lines = []       # [C, 1024] dB lines
 
     # -- streaming API ----------------------------------------------------
 
@@ -294,6 +312,16 @@ class MultiDvbsReceiver:
         else:
             iq = np.asarray(iq, np.float32) * np.float32(
                 self.cfg.float_scale)
+            if self.cnr_est or self.spectrum:
+                freqw = (self._planes[2].reshape(-1)[:self.nchan]
+                         if self.use_pallas else self.state["freqw"])
+                taps = np.asarray(freqw) / 65536.0
+                if self.cnr_est:
+                    self.cnr.extend(self.cnr_est.process(iq, taps))
+                if self.spectrum:
+                    self.spectrum_lines.extend(self.spectrum.process(iq))
+            if self.notch is not None:
+                iq = self.notch.process(iq)
             self.sample_backlog = np.concatenate(
                 [self.sample_backlog, iq], axis=1)
             K = (self.sample_backlog.shape[1] - ra) // receiver.CHUNK
@@ -312,7 +340,8 @@ class MultiDvbsReceiver:
         want_cost = self.viterbi
         if self.use_pallas:
             self._planes, packed = self._rp.demod_pallas(
-                self.params, self._sym_consts, self._planes, x)
+                self.params, self._sym_consts, self._planes, x,
+                interpret=self._interpret)
             sym, valid, cost = _extract_sym_valid(packed, self.nchan,
                                                   want_cost)
         else:
@@ -355,12 +384,17 @@ class MultiDvbsReceiver:
         else:
             buf = np.asarray(packed_out)             # [C, total]
         per_chan = [[] for _ in range(self.nchan)]
+        observe = getattr(self.deconv, "observe", None)
         o = 0
         for nb, ne in shapes:
             by = buf[:, o:o + nb]
-            o += nb + ne * 4
+            o += nb
+            errs = np.ascontiguousarray(buf[:, o:o + ne * 4]).view("<i4")
+            o += ne * 4
             under = buf[:, o]
             o += 1
+            if observe is not None:
+                observe(errs, under.astype(bool))
             for c in range(self.nchan):
                 if not under[c]:
                     per_chan[c].append(by[c])

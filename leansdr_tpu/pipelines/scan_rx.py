@@ -1,11 +1,15 @@
 """Batched multi-candidate acquisition scan.
 
-The TPU-native leansdrscan (SURVEY.md section 2.10 P5): instead of
-fork/exec'ing one demodulator config at a time with a timeout, ALL
-candidate (symbol rate, code rate) hypotheses demodulate the same IQ
-stream as one device batch — symbol-rate candidates ride the channel
-axis via per-channel omega; each candidate has its own byte-domain chain
-and the winner is elected by MPEG lock.
+The TPU-native leansdrscan (SURVEY.md section 2.10 P5): the reference
+(leansdrscan.cc:62-205) fork/execs one demodulator config at a time,
+feeds it the stream, and elects the first config that PRODUCES OUTPUT
+within a timeout (run_program returns nreceived; any nonzero wins,
+leansdrscan.cc:187-199). Here ALL candidate (symbol rate, code rate)
+hypotheses race concurrently on device: distinct symbol rates ride the
+channel axis via per-channel omega (one batched demod for the whole
+grid), each (SR, CR) candidate gets its own byte-domain chain fed from
+its symbol-rate group, and the election is the same output-production
+rule — first candidate (in grid order) whose chain emits TS packets.
 """
 
 from dataclasses import dataclass
@@ -26,18 +30,28 @@ class Candidate:
 
 
 class CandidateScanReceiver:
-    """Demodulate all candidates concurrently; elect by lock."""
+    """Demodulate all candidates concurrently; elect by output."""
 
     def __init__(self, Fs: float, candidates, float_scale: float = 1.0,
                  constellation: Predef = Predef.QPSK):
         self.Fs = Fs
         self.candidates = list(candidates)
         self.float_scale = float_scale
-        C = len(self.candidates)
         cstln = make_dvbs2_constellation(constellation,
                                          self.candidates[0].rate)
         self.cstln = cstln
-        omegas = np.array([Fs / c.Fm for c in self.candidates], np.float32)
+
+        # One demod channel per DISTINCT symbol rate; code-rate
+        # candidates fan out of the same symbol stream (the demod is
+        # rate-agnostic for a fixed constellation).
+        fms = []
+        for c in self.candidates:
+            if c.Fm not in fms:
+                fms.append(c.Fm)
+        self.group_fms = fms
+        self.group_of = [fms.index(c.Fm) for c in self.candidates]
+        G = len(fms)
+        omegas = np.array([Fs / fm for fm in fms], np.float32)
         self.params = receiver.ReceiverParams(
             omega=float(omegas.mean()),
             sampler="linear",
@@ -45,15 +59,25 @@ class CandidateScanReceiver:
             exact_lut=False,
             omega_per_channel=True,
         )
-        self.state = receiver.init_state(self.params, C)
+        self.state = receiver.init_state(self.params, G)
         self.state.update(receiver.per_channel_omega_state(
             self.params, omegas))
         self.tables = receiver.make_tables(cstln)
         self.chains = [
             _ByteChain("4/6" if c.rate == "2/3" else c.rate, fastlock=True)
             for c in self.candidates]
-        self.outputs = [np.empty((0, TS_SIZE), np.uint8) for _ in range(C)]
+        self.outputs = [np.empty((0, TS_SIZE), np.uint8)
+                        for _ in self.candidates]
         self.sample_backlog = np.empty((0, 2), np.float32)
+        self._winner = None
+
+    @classmethod
+    def grid(cls, Fs: float, symbol_rates, rates, **kw):
+        """Cartesian sweep, e.g. 4 SR x 5 CR (the reference's
+        'leansdrscan leandvb --sr a,b,c,d --cr 1/2,2/3,3/4,5/6,7/8')."""
+        cands = [Candidate(Fm=float(sr), rate=r)
+                 for sr in symbol_rates for r in rates]
+        return cls(Fs, cands, **kw)
 
     def process(self, iq: np.ndarray):
         """Feed [n,2] IQ shared by all candidates; returns winner index
@@ -67,21 +91,26 @@ class CandidateScanReceiver:
         n = K * receiver.CHUNK
         x = self.sample_backlog[: n + ra]
         self.sample_backlog = self.sample_backlog[n:]
-        C = len(self.candidates)
-        xb = jnp.asarray(np.broadcast_to(x[None], (C, *x.shape)))
+        G = len(self.group_fms)
+        xb = jnp.asarray(np.broadcast_to(x[None], (G, *x.shape)))
         self.state, out = receiver.run_chunks(self.params, self.tables,
                                               self.state, xb)
         sym = np.asarray(out["symbol"])
         valid = np.asarray(out["valid"])
-        for c in range(C):
-            ts = self.chains[c].feed(sym[c][valid[c]])
+        syms = [sym[g][valid[g]] for g in range(G)]
+        for c, g in enumerate(self.group_of):
+            ts = self.chains[c].feed(syms[g])
             if len(ts):
                 self.outputs[c] = np.concatenate([self.outputs[c], ts])
         return self.winner()
 
     def winner(self):
-        """First candidate with MPEG lock and decoded output."""
-        for c, chain in enumerate(self.chains):
-            if chain.mpeg.synchronized and len(self.outputs[c]):
-                return c
-        return None
+        """Output-production election (leansdrscan.cc:187: 'if
+        (nreceived)' => success): first candidate in grid order with
+        decoded TS output, sticky once elected."""
+        if self._winner is None:
+            for c, out in enumerate(self.outputs):
+                if len(out):
+                    self._winner = c
+                    break
+        return self._winner

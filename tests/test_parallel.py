@@ -104,24 +104,31 @@ def test_time_sharded_fir_halo_exchange():
     np.testing.assert_allclose(y, ref, atol=1e-4)
 
 
-def test_candidate_scan_elects_true_config():
-    """All (symbol rate, code rate) hypotheses demodulate the same IQ as
-    one batch (per-channel omega); the true config must win by lock."""
-    from leansdr_tpu.pipelines.scan_rx import CandidateScanReceiver, Candidate
+def test_candidate_scan_elects_true_config_grid():
+    """A reference-scale 4 SR x 5 CR grid (leansdrscan.cc's cartesian
+    sweep) races as ONE device batch — distinct symbol rates on the
+    channel axis, one byte chain per candidate — and the true config
+    wins by the reference's output-production rule."""
+    from leansdr_tpu.pipelines.scan_rx import CandidateScanReceiver
     pkts = tsgen.generate(300)
     # True signal: 2 Msym/s at 4 Msps, rate 3/4.
     iq = dvbs_tx.modulate(pkts, dvbs_tx.TxConfig(rate="3/4", interp=2)) * 75.0
-    cands = [Candidate(Fm=1e6, rate="1/2"), Candidate(Fm=2e6, rate="1/2"),
-             Candidate(Fm=2e6, rate="3/4"), Candidate(Fm=4e6 / 3, rate="3/4")]
-    rx = CandidateScanReceiver(Fs=4e6, candidates=cands)
+    srs = [1e6, 4e6 / 3, 2e6, 2.5e6]
+    crs = ["1/2", "2/3", "3/4", "5/6", "7/8"]
+    rx = CandidateScanReceiver.grid(Fs=4e6, symbol_rates=srs, rates=crs)
+    assert len(rx.candidates) == 20 and len(rx.group_fms) == 4
     win = None
     for i in range(0, len(iq), 1 << 16):
         w = rx.process(iq[i:i + (1 << 16)])
         win = w if win is None else win
-    assert win == 2, f"winner {win}"
-    hits = sum(1 for o in rx.outputs[2]
+    true_idx = srs.index(2e6) * len(crs) + crs.index("3/4")
+    assert win == true_idx, f"winner {win} != {true_idx}"
+    hits = sum(1 for o in rx.outputs[win]
                if (pkts == o).all(axis=1).any())
     assert hits >= 50
+    # No wrong-hypothesis chain may produce output.
+    assert all(len(rx.outputs[c]) == 0
+               for c in range(20) if c != true_idx)
 
 
 def test_multi_channel_viterbi_decodes_all():

@@ -94,3 +94,30 @@ def test_multi_viterbi_rejects_unsupported():
     cstln = make_dvbs2_constellation(Predef.QPSK, "3/4")
     with pytest.raises(NotImplementedError):
         MultiViterbiSync(cstln, "3/4", 2, 4096, 1.0, interpret=True)
+
+
+def test_track_mode_policy_transitions():
+    """ACQUIRE->TRACK after a stable election; TRACK->ACQUIRE when the
+    tracked discriminant collapses (the TPU analogue of resync_period,
+    dvb.h:1241)."""
+    import numpy as np
+    from leansdr_tpu.dsp.cstln import Predef, make_dvbs2_constellation
+    from leansdr_tpu.fec.viterbi_device import MultiViterbiSync
+
+    cstln = make_dvbs2_constellation(Predef.QPSK, "1/2")
+    v = MultiViterbiSync(cstln, "1/2", 2, 1 << 14, 2.0)
+    C, E = 2, v.plan.E
+    good = np.concatenate(
+        [np.full((C, E), 900, np.int32), np.zeros((C, 1), np.int32)],
+        axis=1)
+    under = np.zeros(C, bool)
+    assert not v._want_track
+    v.observe(good, under)
+    v.observe(good, under)
+    assert not v._want_track          # needs track_after STABLE repeats
+    v.observe(good, under)
+    assert v._want_track              # stable election -> track
+    bad = good.copy()
+    bad[0, :E] = 10                   # collapse channel 0's discriminant
+    v.observe(bad, under)
+    assert not v._want_track          # watchdog -> acquire
