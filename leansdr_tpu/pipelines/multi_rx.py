@@ -351,11 +351,19 @@ class MultiDvbsReceiver:
             valid = out["valid"].T
             cost = out["cost"].T if want_cost else None
 
-        self.deconv.append(sym, valid, cost)
-        self.deconv.note_production(max(0, int(n / self.omega) - 8))
+        # Appends larger than the ring's sizing would overflow it; split
+        # along time and drain decodes between slices (chunks up to
+        # `chunk_samples` take the single-append fast path unchanged).
         handles = []
-        while self.deconv.can_decode():
-            handles.append(self.deconv.decode())
+        step = self.deconv.plan.nsamp
+        for o in range(0, n, step):
+            m = min(step, n - o)
+            self.deconv.append(
+                sym[o:o + m], valid[o:o + m],
+                None if cost is None else cost[o:o + m])
+            self.deconv.note_production(max(0, int(m / self.omega) - 8))
+            while self.deconv.can_decode():
+                handles.append(self.deconv.decode())
         flat = [a for h in handles for a in h]
         packed_out = _pack_fetch(len(handles), self.deconv.state["fill"],
                                  *flat)

@@ -154,6 +154,30 @@ def test_multi_channel_viterbi_decodes_all():
         assert hits >= 0.95 * len(outs[c]), f"channel {c}"
 
 
+def test_multi_channel_oversized_chunk_split_append():
+    """Feeding dispatch() a chunk larger than the ring's per-append
+    sizing (plan.nsamp) must split the append along time instead of
+    overflowing the ring, and decode the same packets as nominal-size
+    feeding."""
+    nchan = 2
+    x, payloads = _stimulus(nchan, npackets=120)
+    cfg = RxConfig(Fs=4e6, Fm=2e6, rate="1/2", fastlock=True,
+                   float_scale=75.0, exact_lut=False)
+    outs = {}
+    for step in (1 << 15, 1 << 17):      # nominal and 4x-oversized
+        rx = MultiDvbsReceiver(cfg, nchan, use_pallas=False,
+                               chunk_samples=1 << 15)
+        acc = [np.empty((0, 188), np.uint8)] * nchan
+        for i in range(0, x.shape[1], step):
+            res = rx.process(x[:, i:i + step])
+            acc = [np.concatenate([a, b]) for a, b in zip(acc, res)]
+        outs[step] = acc
+    for c in range(nchan):
+        assert len(outs[1 << 17][c]) >= 60
+        np.testing.assert_array_equal(outs[1 << 15][c],
+                                      outs[1 << 17][c])
+
+
 def test_multi_channel_pipelined_submit_matches_process():
     """submit()/flush() (threaded fetch + backend) must decode the same
     packets as the synchronous process() path."""
