@@ -185,12 +185,27 @@ class _ByteBackend:
         return [m.synchronized for m in self.mpeg]
 
 
+def make_byte_backend(nchan: int, fastlock: bool, on_next_sync=None,
+                      native=None):
+    """Backend factory: the C++ runtime (leansdr_tpu/native) when it
+    builds/loads, else the Python fleet backend. `native=False` forces
+    Python (also via LEANSDR_NO_NATIVE=1); `native=True` requires C++."""
+    if native is None or native:
+        try:
+            from ..native import NativeByteBackend
+            return NativeByteBackend(nchan, fastlock, on_next_sync)
+        except Exception:
+            if native:
+                raise
+    return _ByteBackend(nchan, fastlock, on_next_sync)
+
+
 class MultiDvbsReceiver:
     """N-channel receiver: one batched device demod + device deconv +
     vectorized host byte backend."""
 
     def __init__(self, cfg: RxConfig, nchan: int, use_pallas=None,
-                 chunk_samples: int | None = None):
+                 chunk_samples: int | None = None, native=None):
         self.cfg = cfg
         self.nchan = nchan
         cstln = make_dvbs2_constellation(cfg.constellation, cfg.rate)
@@ -251,14 +266,16 @@ class MultiDvbsReceiver:
             self.deconv = MultiViterbiSync(
                 cstln, self.rate, nchan, nominal, self.omega,
                 fastlock=cfg.fastlock)
-            self.backend = _ByteBackend(nchan, cfg.fastlock)
+            self.backend = make_byte_backend(nchan, cfg.fastlock,
+                                             native=native)
         else:
             self.deconv = DeviceDeconvolver(
                 self.rate, nchan, nominal, self.omega,
                 fastlock=cfg.fastlock)
             on_next = None if cfg.fastlock else self.deconv.next_sync
-            self.backend = _ByteBackend(nchan, cfg.fastlock,
-                                        on_next_sync=on_next)
+            self.backend = make_byte_backend(nchan, cfg.fastlock,
+                                             on_next_sync=on_next,
+                                             native=native)
         self.sample_backlog = np.empty((nchan, 0, 2), np.float32)
         self._pool = None
         self._fetch_pool = None

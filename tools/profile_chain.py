@@ -1,0 +1,175 @@
+#!/usr/bin/env python
+"""Stage-level profile of the 64-channel full receive chain.
+
+Breaks the per-chunk device time of `MultiDvbsReceiver.dispatch` into
+its stages — RRC matched-filter prefilter, demod kernel, sym/valid
+extraction, ring append, decode — plus the host side of `collect`
+(link fetch, byte backend), using the marginal-time method that the
+axon tunnel requires (chained reps, one scalar digest fetch at the
+end; see bench.py).
+
+Usage: python tools/profile_chain.py [nchan] [log2_chunk] [--viterbi]
+Prints one JSON line with per-stage seconds per chunk and the implied
+aggregate Msps of each stage in isolation.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def _marginal(fn, reps=4, tries=2):
+    """Best-of marginal seconds per call: (T(reps) - T(1)) / (reps-1)."""
+    def run(r):
+        best = 1e9
+        for _ in range(tries):
+            t0 = time.perf_counter()
+            fn(r)
+            best = min(best, time.perf_counter() - t0)
+        return best
+    run(1)
+    return max((run(reps) - run(1)) / (reps - 1), 1e-9)
+
+
+def _note(res, k, v):
+    res[k] = v
+    print(f"# {k} = {v}", flush=True)
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      str(REPO / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    import jax.numpy as jnp
+    from leansdr_tpu.pipelines import tsgen
+    from leansdr_tpu.pipelines.dvbs_rx import RxConfig
+    from leansdr_tpu.pipelines.multi_rx import MultiDvbsReceiver
+
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    nchan = int(args[0]) if args else 64
+    CH = 1 << (int(args[1]) if len(args) > 1 else 18)
+    viterbi = "--viterbi" in sys.argv
+
+    from leansdr_tpu.pipelines import dvbs_tx_device as txd
+    print("# tx synth", flush=True)
+    pkts = tsgen.generate(5 * CH // 3264 + 12)
+    mod = txd.DeviceModulator(rate="1/2", interp=2, amp=75.0)
+    y = txd._tx_jit(jnp.asarray(pkts), mod.pat, mod.enc_m, mod.ilv_idx,
+                    mod.sym_pts, mod.rrc, mod.rate, mod.bps,
+                    mod.interp, mod.ncoeffs)
+    y.block_until_ready()
+
+    rx = MultiDvbsReceiver(
+        RxConfig(Fs=4e6, Fm=2e6, rate="1/2", fastlock=True,
+                 float_scale=75.0, exact_lut=False, viterbi=viterbi,
+                 sampler="rrc"),
+        nchan, chunk_samples=CH)
+    ra = rx.params.readahead + (len(rx.mf_taps) - 1
+                                if rx.mf_taps is not None else 0)
+    bcast = jax.jit(lambda v: jnp.broadcast_to(
+        v[None], (nchan,) + v.shape) + 0.0)
+    wins = [bcast(y[s:s + CH + ra]) for s in range(0, 4 * CH, CH)]
+    digest = jax.jit(lambda a: jnp.sum(a.astype(jnp.int32)))
+
+    for k in range(4):
+        t0 = time.perf_counter()
+        rx.process(wins[k % 4])
+        print(f"# warmup {k}: {time.perf_counter()-t0:.1f}s", flush=True)
+    print("# warmup done", flush=True)
+
+    res = {"nchan": nchan, "chunk": CH, "viterbi": viterbi}
+
+    # -- full dispatch (all device stages) ------------------------------
+    def full(r):
+        ds = []
+        for k in range(r):
+            pend = rx.dispatch(wins[k % 4])
+            if pend is not None:
+                ds.append(digest(pend[0]))
+        assert np.isfinite(sum(float(np.asarray(d)) for d in ds))
+    _note(res, "dispatch_s", _marginal(full))
+
+    # -- mf prefilter ----------------------------------------------------
+    if rx.mf_taps is not None:
+        from leansdr_tpu.dsp.mf_prefilter import mf_prefilter
+        freqw = (rx._planes[2].reshape(-1)[:nchan]
+                 if rx.use_pallas else rx.state["freqw"])
+
+        def mf(r):
+            acc = None
+            for k in range(r):
+                ybuf = mf_prefilter(rx.mf_taps, freqw, wins[k % 4])
+                acc = ybuf
+            assert np.isfinite(float(np.asarray(acc[0, 0, 0])))
+        _note(res, "mf_s", _marginal(mf))
+    else:
+        res["mf_s"] = 0.0
+
+    # -- demod kernel (chained state) ------------------------------------
+    if rx.use_pallas:
+        from leansdr_tpu.dsp import receiver_pallas as rp
+        from leansdr_tpu.dsp.mf_prefilter import mf_prefilter
+        if rx.mf_taps is not None:
+            xs = [mf_prefilter(rx.mf_taps, freqw, w) for w in wins]
+        else:
+            xs = wins
+        for x in xs:
+            x.block_until_ready()
+
+        def dem(r):
+            st = rx._planes
+            packed = None
+            for k in range(r):
+                st, packed = rp.demod_pallas(rx.params, rx._sym_consts,
+                                             st, xs[k % 4])
+            assert np.isfinite(float(np.asarray(st[0]).sum()))
+        _note(res, "demod_s", _marginal(dem))
+
+        # extraction (sym/valid/cost unpack + compaction inputs)
+        from leansdr_tpu.pipelines.multi_rx import _extract_sym_valid
+        st2, packed = rp.demod_pallas(rx.params, rx._sym_consts,
+                                      rx._planes, xs[0])
+        packed.block_until_ready()
+
+        def ext(r):
+            out = None
+            for _ in range(r):
+                out = _extract_sym_valid(packed, nchan, viterbi)
+            assert np.isfinite(float(np.asarray(out[0][0, 0])))
+        _note(res, "extract_s", _marginal(ext))
+
+        # ring append + decode, measured as dispatch minus the above
+        res["ring_decode_s"] = (res["dispatch_s"] - res["mf_s"]
+                                - res["demod_s"] - res["extract_s"])
+
+    # -- collect: link fetch + host byte backend -------------------------
+    pend = rx.dispatch(wins[0])
+    np.asarray(pend[0])          # force device compute to finish
+    t0 = time.perf_counter()
+    buf = np.asarray(pend[0])    # second fetch = pure link transfer
+    res["fetch_s"] = time.perf_counter() - t0
+    res["fetch_bytes"] = int(buf.nbytes)
+
+    # collect() on a prefetched ndarray = host backend only:
+    t0 = time.perf_counter()
+    rx.collect((buf, pend[1]))
+    res["backend_s"] = time.perf_counter() - t0
+
+    budget = nchan * CH
+    for k in ("dispatch_s", "mf_s", "demod_s", "extract_s",
+              "ring_decode_s", "fetch_s", "backend_s"):
+        if res.get(k):
+            res[k + "_msps"] = round(budget / res[k] / 1e6, 1)
+            res[k] = round(res[k], 4)
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()
