@@ -239,10 +239,9 @@ def main(argv=None):
             for st in rx.mpeg.lock_events:
                 info.lock(st)
             rx.mpeg.lock_events.clear()
-            lt = rx.mpeg.locktime_out
-            if len(lt) > locktime_sent:
-                info.locktime(lt[-1])
-                locktime_sent = len(lt)
+            if rx.mpeg.locktime_count > locktime_sent:
+                info.locktime(rx.mpeg.locktime)
+                locktime_sent = rx.mpeg.locktime_count
             if rx.vbitcount:
                 info.vber(rx.vber)
             info.flush()

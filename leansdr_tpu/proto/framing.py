@@ -49,8 +49,13 @@ class MpegSync:
         self.phase8 = -1
         self.lock_timeleft = 0
         self.locktime = 0
-        self.lock_events = []              # (state 0|1) transitions
-        self.locktime_out = []
+        # Bounded metric outputs (long-running receivers must not grow
+        # host memory with stream length): lock transitions since the
+        # consumer last cleared, capped; locktime_count is the monotonic
+        # number of locktime ticks, with `locktime` their latest value.
+        from collections import deque
+        self.lock_events = deque(maxlen=256)   # (state 0|1) transitions
+        self.locktime_count = 0
 
     # -- searching ---------------------------------------------------------
 
@@ -174,8 +179,7 @@ class MpegSync:
         unlock = len(hits) > 0
         n_emit = int(hits[0]) + 1 if unlock else n_all
         pkts = pkts[:n_emit]
-        self.locktime_out.extend(
-            range(self.locktime + 1, self.locktime + n_emit + 1))
+        self.locktime_count += n_emit
         self.locktime += n_emit
         self.phase8 = int((self.phase8 + n_emit) & 7)
         if unlock:

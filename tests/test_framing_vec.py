@@ -25,7 +25,7 @@ def seq_run_decoding(sync: MpegSync, data: np.ndarray):
         consumed += RS_SIZE
         out.append(pkt)
         sync.locktime += 1
-        sync.locktime_out.append(sync.locktime)
+        sync.locktime_count += 1
         expected = MPEG_SYNC if sync.phase8 else MPEG_SYNC_INV
         if pkt[0] == expected:
             sync.lock_timeleft = sync.lock_timeout
@@ -84,8 +84,8 @@ def test_run_decoding_matches_sequential(seed):
         for k in ("synchronized", "phase8", "lock_timeleft", "locktime",
                   "next_sync_count"):
             assert getattr(a, k) == getattr(b, k), k
-        assert a.locktime_out == b.locktime_out
-        assert a.lock_events == b.lock_events
+        assert a.locktime_count == b.locktime_count
+        assert list(a.lock_events) == list(b.lock_events)
 
 
 def seq_derandomize(packets, pos):
