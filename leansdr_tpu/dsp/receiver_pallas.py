@@ -98,6 +98,18 @@ def _demod_kernel(params: ReceiverParams, sym_re, sym_im, sym_phase, nsub,
 
     zeros = jnp.zeros((nsub, LANE), jnp.float32)
 
+    # QPSK sign-quadrant grid (the DVB-S workhorse): the 4-symbol argmin
+    # scan collapses to a closed form. All quantities are integers < 2^24
+    # so every f32 op is exact and the closed form is BIT-IDENTICAL to
+    # the scan (symbol order 0:(+,+) 1:(+,-) 2:(-,+) 3:(-,-); ties at
+    # i8==0 / q8==0 go to the lower index, which the strict-< scan also
+    # picks). Shortens the per-sample dependency chain by ~15 ops.
+    qpsk_grid = (
+        nsym == 4
+        and len({abs(v) for v in sym_re} | {abs(v) for v in sym_im}) == 1
+        and [(v > 0, w > 0) for v, w in zip(sym_re, sym_im)]
+        == [(True, True), (True, False), (False, True), (False, False)])
+
     def body(t, carry):
         (mu, phase, freqw, p0r, p0i, p1r, p1i, p2r, p2i,
          c0r, c0i, c1r, c1i, c2r, c2i,
@@ -135,29 +147,56 @@ def _demod_kernel(params: ReceiverParams, sym_re, sym_im, sym_phase, nsub,
         s_im = sg_im * agc_gain
 
         # constellation decision (computed LUT semantics); 4 halving
-        # rounds cover |IQ| < 2048 (AGC keeps amplitudes near 75)
+        # rounds cover |IQ| < 2048 (AGC keeps amplitudes near 75).
+        # The rounds are data-independent given the start value (range
+        # doubles per round, halving is exact), so they evaluate as 4
+        # PARALLEL threshold tests instead of a serial halving chain.
         I, Q = s_re, s_im
-        for _ in range(4):
-            over = (I < -128.0) | (I > 127.0) | (Q < -128.0) | (Q > 127.0)
-            I = jnp.where(over, I * 0.5, I)
-            Q = jnp.where(over, Q * 0.5, Q)
+        k_half = jnp.zeros((nsub, LANE), jnp.float32)
+        for j in range(4):
+            lo, hi = -128.0 * 2 ** j, 127.0 * 2 ** j
+            over = (I < lo) | (I > hi) | (Q < lo) | (Q > hi)
+            k_half = k_half + over.astype(jnp.float32)
+        scale = jnp.where(k_half == 0, 1.0,
+                          jnp.where(k_half == 1, 0.5,
+                                    jnp.where(k_half == 2, 0.25,
+                                              jnp.where(k_half == 3,
+                                                        0.125, 0.0625))))
+        I = I * scale
+        Q = Q * scale
         i8 = jnp.trunc(I)
         q8 = jnp.trunc(Q)
-        d1 = jnp.full((nsub, LANE), 3.4e38, jnp.float32)
-        d2 = jnp.full((nsub, LANE), 3.4e38, jnp.float32)
-        near = jnp.zeros((nsub, LANE), jnp.int32)
-        cpt_re = zeros
-        cpt_im = zeros
-        ph_sym = zeros
-        for s in range(nsym):
-            ds = (i8 - sym_re[s]) ** 2 + (q8 - sym_im[s]) ** 2
-            better = ds < d1
-            d2 = jnp.where(better, d1, jnp.minimum(d2, ds))
-            d1 = jnp.where(better, ds, d1)
-            near = jnp.where(better, s, near)
-            cpt_re = jnp.where(better, sym_re[s], cpt_re)
-            cpt_im = jnp.where(better, sym_im[s], cpt_im)
-            ph_sym = jnp.where(better, sym_phase[s], ph_sym)
+        if qpsk_grid:
+            a = sym_re[0]
+            ai = jnp.abs(i8)
+            aq = jnp.abs(q8)
+            d1 = (ai - a) ** 2 + (aq - a) ** 2
+            d2 = d1 + (4 * a) * jnp.minimum(ai, aq)
+            neg_i = i8 < 0
+            neg_q = q8 < 0
+            near = neg_i.astype(jnp.int32) * 2 + neg_q.astype(jnp.int32)
+            cpt_re = jnp.where(neg_i, jnp.float32(-a), jnp.float32(a))
+            cpt_im = jnp.where(neg_q, jnp.float32(-a), jnp.float32(a))
+            ph_sym = jnp.where(
+                neg_q,
+                jnp.where(neg_i, sym_phase[3], sym_phase[1]),
+                jnp.where(neg_i, sym_phase[2], sym_phase[0]))
+        else:
+            d1 = jnp.full((nsub, LANE), 3.4e38, jnp.float32)
+            d2 = jnp.full((nsub, LANE), 3.4e38, jnp.float32)
+            near = jnp.zeros((nsub, LANE), jnp.int32)
+            cpt_re = zeros
+            cpt_im = zeros
+            ph_sym = zeros
+            for s in range(nsym):
+                ds = (i8 - sym_re[s]) ** 2 + (q8 - sym_im[s]) ** 2
+                better = ds < d1
+                d2 = jnp.where(better, d1, jnp.minimum(d2, ds))
+                d1 = jnp.where(better, ds, d1)
+                near = jnp.where(better, s, near)
+                cpt_re = jnp.where(better, sym_re[s], cpt_re)
+                cpt_im = jnp.where(better, sym_im[s], cpt_im)
+                ph_sym = jnp.where(better, sym_phase[s], ph_sym)
         cost = jnp.minimum(d1, 32767.0) - jnp.minimum(d2, 32767.0)
 
         ph_err = _atan2(q8, i8) - ph_sym
@@ -216,7 +255,12 @@ def _demod_kernel(params: ReceiverParams, sym_re, sym_im, sym_phase, nsub,
               hist[0], hist[1], hist[2], hist[3], hist[4], hist[5],
               hist[6], hist[7], hist[8], hist[9], hist[10], hist[11],
               zeros, zeros, zeros, zeros, zeros, zeros, zeros)
-    carry = jax.lax.fori_loop(0, CHUNK, body, carry0)
+
+    def body2(i, carry):      # 2x unroll: halves loop/branch overhead
+        carry = body(2 * i, carry)
+        return body(2 * i + 1, carry)
+
+    carry = jax.lax.fori_loop(0, CHUNK // 2, body2, carry0)
     (mu, phase, freqw, p0r, p0i, p1r, p1i, p2r, p2i,
      c0r, c0i, c1r, c1i, c2r, c2i,
      lsg_re, lsg_im, ls_re, ls_im, lc_re, lc_im, any_f) = carry
