@@ -132,6 +132,7 @@ def _acs_kernel(rate: str,
 
         halves_m = []
         halves_p = []
+        halves_k = []
         best_key = None
         for h in range(2):
             bon_e = jnp.where(cse[h] == cs_b[None, :], c_b[None, :], 0)
@@ -154,26 +155,28 @@ def _acs_kernel(rate: str,
             new_p = ((jnp.where(sel_odd == 1, po, pe) << 1) | h)
             halves_m.append(new_m)
             halves_p.append(new_p)
-            key = new_m * 64 + sidx[h]
+            # Packed reduction key (metric, state, traceback bit): one
+            # min finds the best state's metric AND its decoded bit —
+            # (m, sidx) is unique per state so the low bit never breaks
+            # the ordering. Normalized metrics stay < ~2M << 2^23, so
+            # the <<7 cannot overflow i32.
+            key = ((new_m * 64 + sidx[h]) << 1) | ((new_p >> shift) & 1)
+            halves_k.append(key)
             kmin = jnp.min(key, axis=0, keepdims=True)   # [1, N]
             best_key = kmin if best_key is None else \
                 jnp.minimum(best_key, kmin)
 
-        best_m = best_key >> 6                      # arithmetic: floor
-        # Decoded bit: traceback-depth bit of the (first-min) best
-        # state's path; best_key embeds the state id so the == mask is
-        # unique and a masked sum replaces the cross-sublane gather.
-        us = jnp.zeros_like(best_key)
+        best_m = best_key >> 7                      # arithmetic: floor
+        us = best_key & 1
+        # Second-best state (for the election discriminant): min over
+        # all states excluding the best, via one exclusion pass.
         second = None
         for h in range(2):
-            key = halves_m[h] * 64 + sidx[h]
-            hit = (key == best_key).astype(jnp.int32)
-            us = us + jnp.sum(((halves_p[h] >> shift) & 1) * hit,
-                              axis=0, keepdims=True)
-            k2 = jnp.min(jnp.where(key == best_key, BIG, key),
+            k2 = jnp.min(jnp.where(halves_k[h] == best_key, BIG,
+                                   halves_k[h]),
                          axis=0, keepdims=True)
             second = k2 if second is None else jnp.minimum(second, k2)
-        q = (second >> 6) - best_m
+        q = (second >> 7) - best_m
 
         scratch[0:32] = halves_m[0] - best_m
         scratch[32:64] = halves_m[1] - best_m
