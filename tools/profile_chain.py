@@ -57,14 +57,19 @@ def main():
     CH = 1 << (int(args[1]) if len(args) > 1 else 18)
     viterbi = "--viterbi" in sys.argv
 
-    from leansdr_tpu.pipelines import dvbs_tx_device as txd
     print("# tx synth", flush=True)
     pkts = tsgen.generate(5 * CH // 3264 + 12)
-    mod = txd.DeviceModulator(rate="1/2", interp=2, amp=75.0)
-    y = txd._tx_jit(jnp.asarray(pkts), mod.pat, mod.enc_m, mod.ilv_idx,
-                    mod.sym_pts, mod.rrc, mod.rate, mod.bps,
-                    mod.interp, mod.ncoeffs)
-    y.block_until_ready()
+    try:
+        from leansdr_tpu.pipelines import dvbs_tx_device as txd
+        mod = txd.DeviceModulator(rate="1/2", interp=2, amp=75.0)
+        y = txd._tx_jit(jnp.asarray(pkts), mod.pat, mod.enc_m,
+                        mod.ilv_idx, mod.sym_pts, mod.rrc, mod.rate,
+                        mod.bps, mod.interp, mod.ncoeffs)
+        y.block_until_ready()
+    except Exception:
+        from leansdr_tpu.pipelines import dvbs_tx
+        y = jnp.asarray(dvbs_tx.modulate(
+            pkts, dvbs_tx.TxConfig(rate="1/2", interp=2)) * 75.0)
 
     rx = MultiDvbsReceiver(
         RxConfig(Fs=4e6, Fm=2e6, rate="1/2", fastlock=True,
