@@ -337,6 +337,27 @@ class DeviceDeconvolver:
         self._est_fill -= self.plan.consumed
         return by, errs, under
 
+    # -- fused-dispatch interface (pipelines/multi_rx._fused_chunk) ------
+    kind = "deconv"
+    maps = None
+
+    @property
+    def plan_dec(self):
+        return self.plan
+
+    def apply_pending_transition(self):
+        pass
+
+    def schedule_decode(self) -> int:
+        """Bookkeeping-only equivalent of the `while can_decode(): decode`
+        loop: returns how many decodes the fused device program must run
+        after the current append."""
+        k = 0
+        while self.can_decode():
+            self._est_fill -= self.plan_dec.consumed
+            k += 1
+        return k
+
     def next_sync(self, channel: int):
         """Non-fastlock resync feedback from mpeg_sync (dvb.h:185-193):
         rotate the sync map; after all 4, slip one symbol alignment."""

@@ -460,27 +460,46 @@ class MultiViterbiSync:
     def can_decode(self) -> bool:
         return self._est_fill >= self.plan.needed
 
-    def decode(self):
+    def apply_pending_transition(self):
+        """Apply a pending ACQUIRE<->TRACK switch to the trellis planes
+        (requested by observe() between chunks)."""
+        if self._want_track == self.track:
+            return
         C = self.plan.nchan
-        if self._want_track != self.track:
-            st = self.state
-            if self._want_track:
-                m, p = _planes_to_track(st["metric"], st["path"],
-                                        st["current"], C,
-                                        self.plan_track.n_lanes)
-                self.state = dict(st, metric=m, path=p,
-                                  tsync=st["current"])
-            else:
-                m, p = _planes_to_acquire(st["metric"], st["path"], C,
-                                          self.plan.n_lanes)
-                self.state = dict(st, metric=m, path=p,
-                                  current=st["tsync"])
-            self.track = self._want_track
+        st = self.state
+        if self._want_track:
+            m, p = _planes_to_track(st["metric"], st["path"],
+                                    st["current"], C,
+                                    self.plan_track.n_lanes)
+            self.state = dict(st, metric=m, path=p, tsync=st["current"])
+        else:
+            m, p = _planes_to_acquire(st["metric"], st["path"], C,
+                                      self.plan.n_lanes)
+            self.state = dict(st, metric=m, path=p, current=st["tsync"])
+        self.track = self._want_track
+
+    def decode(self):
+        self.apply_pending_transition()
         plan = self.plan_track if self.track else self.plan
         self.state, by, discr, under = viterbi_decode(
             plan, self.state, self.maps, interpret=self.interpret)
         self._est_fill -= plan.consumed
         return by, discr, under
+
+    # -- fused-dispatch interface (pipelines/multi_rx._fused_chunk) ------
+    kind = "viterbi"
+
+    @property
+    def plan_dec(self):
+        return self.plan_track if self.track else self.plan
+
+    def schedule_decode(self) -> int:
+        """Bookkeeping-only equivalent of `while can_decode(): decode`."""
+        k = 0
+        while self.can_decode():
+            self._est_fill -= self.plan_dec.consumed
+            k += 1
+        return k
 
     def observe(self, discr: np.ndarray, under: np.ndarray):
         """Host feedback from a fetched decode: discr [C, E+1] i32 with

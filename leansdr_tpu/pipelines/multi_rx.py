@@ -55,6 +55,60 @@ def _pack_fetch(nd: int, fill: jnp.ndarray, *flat):
     return jnp.concatenate(parts, axis=1)
 
 
+@partial(jax.jit, static_argnames=(
+    "params", "sym_consts", "mf_taps", "nchan", "kind", "plan",
+    "plan_dec", "maps", "schedule", "use_pallas", "interpret"))
+def _fused_chunk(params, sym_consts, mf_taps, nchan, kind, plan, plan_dec,
+                 maps, schedule, use_pallas, interpret,
+                 tables, dem_state, dstate, x):
+    """ONE device program for a whole chunk: [matched filter] -> demod
+    (Pallas kernel or XLA scan) -> sym/valid/cost extraction -> ring
+    append(s) -> `schedule` decodes -> the packed fetch buffer.
+
+    dispatch() used to issue each stage as its own jit call (~6 per
+    chunk); every call pays dispatch latency (30-60 ms over the axon
+    tunnel) and blocks XLA from scheduling across stage boundaries. The
+    decode schedule is host-deterministic (fixed chunk sizes -> fixed
+    fill bookkeeping), so it folds in as a static argument and the whole
+    chunk becomes a single dispatch.
+    """
+    from ..dsp import receiver
+    from ..dsp.mf_prefilter import mf_prefilter
+    from ..fec.deconv_device import deconv_append, deconv_decode
+    from ..fec.viterbi_device import viterbi_decode
+    want_cost = kind == "viterbi"
+    if mf_taps is not None:
+        freqw = (dem_state[2].reshape(-1)[:nchan] if use_pallas
+                 else dem_state["freqw"])
+        x = mf_prefilter(mf_taps, freqw, x)
+    if use_pallas:
+        from ..dsp import receiver_pallas as rp
+        dem_state, packed = rp.demod_pallas(params, sym_consts, dem_state,
+                                            x, interpret=interpret)
+        sym, valid, cost = _extract_sym_valid(packed, nchan, want_cost)
+    else:
+        dem_state, out = receiver.run_chunks(params, tables, dem_state, x)
+        sym = out["symbol"].T
+        valid = out["valid"].T
+        cost = out["cost"].T if want_cost else None
+    n = sym.shape[0]
+    step = plan.nsamp
+    flat = []
+    for i, o in enumerate(range(0, n, step)):
+        m = min(step, n - o)
+        dstate = deconv_append(plan, dstate, sym[o:o + m], valid[o:o + m],
+                               None if cost is None else cost[o:o + m])
+        for _ in range(schedule[i]):
+            if kind == "viterbi":
+                dstate, by, errs, under = viterbi_decode(
+                    plan_dec, dstate, maps, interpret=interpret)
+            else:
+                dstate, by, errs, under = deconv_decode(plan_dec, dstate)
+            flat += [by, errs, under]
+    packed_out = _pack_fetch(len(flat) // 3, dstate["fill"], *flat)
+    return dem_state, dstate, packed_out
+
+
 @partial(jax.jit, static_argnames=("nchan", "want_cost"))
 def _extract_sym_valid(packed: jnp.ndarray, nchan: int,
                        want_cost: bool = False):
@@ -348,43 +402,37 @@ class MultiDvbsReceiver:
             x = jnp.asarray(self.sample_backlog[:, :n + ra])
             self.sample_backlog = self.sample_backlog[:, n:]
 
-        if self.mf_taps is not None:
-            from ..dsp.mf_prefilter import mf_prefilter
-            freqw = (self._planes[2].reshape(-1)[:self.nchan]
-                     if self.use_pallas else self.state["freqw"])
-            x = mf_prefilter(self.mf_taps, freqw, x)
-
-        want_cost = self.viterbi
-        if self.use_pallas:
-            self._planes, packed = self._rp.demod_pallas(
-                self.params, self._sym_consts, self._planes, x,
-                interpret=self._interpret)
-            sym, valid, cost = _extract_sym_valid(packed, self.nchan,
-                                                  want_cost)
-        else:
-            self.state, out = receiver.run_chunks(
-                self.params, self.tables, self.state, x)
-            sym = out["symbol"].T
-            valid = out["valid"].T
-            cost = out["cost"].T if want_cost else None
-
-        # Appends larger than the ring's sizing would overflow it; split
-        # along time and drain decodes between slices (chunks up to
-        # `chunk_samples` take the single-append fast path unchanged).
-        handles = []
+        # ONE fused device program per chunk (mf -> demod -> ring appends
+        # -> decodes -> packed fetch buffer). The decode schedule comes
+        # from the same host fill bookkeeping decode() uses; appends
+        # larger than the ring's sizing split along time with decodes
+        # drained between slices.
+        self.deconv.apply_pending_transition()
+        plan_dec = self.deconv.plan_dec
         step = self.deconv.plan.nsamp
+        schedule = []
         for o in range(0, n, step):
             m = min(step, n - o)
-            self.deconv.append(
-                sym[o:o + m], valid[o:o + m],
-                None if cost is None else cost[o:o + m])
             self.deconv.note_production(max(0, int(m / self.omega) - 8))
-            while self.deconv.can_decode():
-                handles.append(self.deconv.decode())
-        flat = [a for h in handles for a in h]
-        packed_out = _pack_fetch(len(handles), self.deconv.state["fill"],
-                                 *flat)
-        shapes = [(h[0].shape[1], h[1].shape[1]) for h in handles]
+            schedule.append(self.deconv.schedule_decode())
+        dem_state = self._planes if self.use_pallas else self.state
+        dem_state, dstate, packed_out = _fused_chunk(
+            self.params,
+            self._sym_consts if self.use_pallas else None,
+            self.mf_taps, self.nchan, self.deconv.kind,
+            self.deconv.plan, plan_dec, self.deconv.maps,
+            tuple(schedule), self.use_pallas,
+            (self._interpret if self.use_pallas
+             else getattr(self.deconv, "interpret", False)),
+            None if self.use_pallas else self.tables,
+            dem_state, self.deconv.state, x)
+        if self.use_pallas:
+            self._planes = dem_state
+        else:
+            self.state = dem_state
+        self.deconv.state = dstate
+        ecols = plan_dec.E + (1 if self.deconv.kind == "viterbi" else 0)
+        shapes = [(plan_dec.nbytes, ecols)] * sum(schedule)
         return packed_out, shapes
 
     def prefetch(self, pending):
