@@ -96,6 +96,31 @@ def _worker(pid: int, q):
     stg = jax.tree.map(lambda a: jax.device_put(a, sh), state)
 
     st2, g_nsym, g_mer = jax.jit(fn)(stg, xg)
+
+    # N>=2-host kernel-rate point (BASELINE.json: RRC-FIR samples/s at
+    # 1 chip / 1 host / N hosts): overlap-save sharded FIR with the halo
+    # exchange crossing the process boundary.
+    import time
+    from leansdr_tpu.parallel import halo
+    from leansdr_tpu.dsp import filtergen
+    coeffs = filtergen.root_raised_cosine(32, 0.25, 0.35)
+    tmesh = halo.make_time_mesh(jax.devices())
+    fir = halo.sharded_fir(coeffs, tmesh)
+    NS = 1 << 20
+    rng = np.random.default_rng(0)
+    sig = jax.device_put(
+        jnp.asarray((rng.normal(size=NS) + 1j * rng.normal(size=NS)
+                     ).astype(np.complex64)),
+        NamedSharding(tmesh, P("time")))
+    yv = fir(sig)
+    jax.block_until_ready(yv)
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        yv = fir(sig)
+    jax.block_until_ready(yv)
+    fir_sps = NS * reps / (time.perf_counter() - t0)
+
     res = {
         "process": pid,
         "processes": jax.process_count(),
@@ -104,6 +129,7 @@ def _worker(pid: int, q):
         "fleet_symbols_psum": int(np.asarray(g_nsym).reshape(-1)[0]),
         "fleet_mer_pmean_db": round(
             10 * float(np.log10(np.asarray(g_mer).reshape(-1)[0])), 2),
+        "fir_2host_msps": round(fir_sps / 1e6, 1),
     }
     q.put(res)
 
