@@ -81,7 +81,9 @@ def run_parity(streams, fastlock, chunk=4096, with_next_sync=False):
 
 def test_parity_fastlock_impaired():
     streams = [
-        make_stream(300, 1),                          # clean, aligned
+        # 600 packets (~122 KB) crosses the ByteFifo compaction
+        # threshold (byte_backend.cc head > 65536), exercising it.
+        make_stream(600, 1),                          # clean, aligned
         make_stream(300, 2, nerr=40, prefix=777),     # errors + search
         make_stream(300, 3, invert=True, bitshift=3),  # polarity + shift
         make_stream(300, 4, nerr=25, prefix=391, invert=True, bitshift=6),
