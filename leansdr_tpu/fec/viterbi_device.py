@@ -186,7 +186,11 @@ def _acs_kernel(rate: str,
         q_ref[t] = q[0]
         return carry
 
-    jax.lax.fori_loop(0, P_SUB, body, 0)
+    def body2(i, carry):      # 2x unroll: halves loop/branch overhead
+        carry = body(2 * i, carry)
+        return body(2 * i + 1, carry)
+
+    jax.lax.fori_loop(0, P_SUB // 2, body2, 0)
 
     @pl.when(i == pl.num_programs(1) - 1)
     def _():
