@@ -187,6 +187,9 @@ def main(argv=None):
         if info:
             locks = rx.locks
             info.f.write(f"FLEETLOCKS {int(np.sum(locks))}\n")
+            m = rx.metrics()
+            info.f.write(f"FLEETMER {m['mer_db'].min():.1f} "
+                         f"{m['mer_db'].mean():.1f}\n")
             vb = int(np.sum(rx.vbitcount))
             if vb:
                 info.f.write(

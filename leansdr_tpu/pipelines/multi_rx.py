@@ -33,6 +33,11 @@ from ..proto.framing import MpegSync
 from functools import partial
 
 
+def receiver_pallas_nstate() -> int:
+    from ..dsp import receiver_pallas as rp
+    return rp.NSTATE
+
+
 @partial(jax.jit, static_argnames=("nd",))
 def _pack_fetch(nd: int, fill: jnp.ndarray, *flat):
     """Concatenate `nd` decode results + the fill watermark into ONE u8
@@ -521,6 +526,25 @@ class MultiDvbsReceiver:
         done = [j.result() for j in self._jobs]
         self._jobs.clear()
         return done
+
+    def metrics(self):
+        """Per-channel measurement snapshot (one small host fetch —
+        call at info rate, ~1 Hz): dict of [C] arrays freq (fraction of
+        Fs), ss, mer_db (sdr.h:852-889 estimator state)."""
+        if self.use_pallas:
+            p = np.asarray(self._planes).reshape(receiver_pallas_nstate(),
+                                                 -1)[:, :self.nchan]
+            freqw, est_insp, est_sp, est_ep = p[2], p[4], p[5], p[6]
+        else:
+            freqw = np.asarray(self.state["freqw"])
+            est_insp = np.asarray(self.state["est_insp"])
+            est_sp = np.asarray(self.state["est_sp"])
+            est_ep = np.asarray(self.state["est_ep"])
+        mer = np.where(est_ep > 0,
+                       10 * np.log10(np.maximum(est_sp, 1e-30)
+                                     / np.maximum(est_ep, 1e-30)), 0.0)
+        return {"freq": freqw / 65536.0, "ss": np.sqrt(est_insp),
+                "mer_db": mer}
 
     @property
     def locks(self):
