@@ -56,7 +56,7 @@ def usage(code=0, f=sys.stderr):
 
 def parse_args(argv):
     from ..pipelines.dvbs_rx import RxConfig
-    from ..dsp.cstln import Predef
+    from ._dvbs_flags import handle_dvbs_flag
 
     cfg = RxConfig(anf=1)     # leandvb default anf=1 (leandvb.cc:103)
     opts = {
@@ -65,10 +65,6 @@ def parse_args(argv):
         "hs": False, "hdlc": False, "packetized": False, "buf_factor": 4,
         "Finfo": 5.0, "standard": "DVB-S",
     }
-    consts = {"BPSK": Predef.BPSK, "QPSK": Predef.QPSK, "8PSK": Predef.PSK8,
-              "16APSK": Predef.APSK16, "32APSK": Predef.APSK32,
-              "64APSKe": Predef.APSK64E, "16QAM": Predef.QAM16,
-              "64QAM": Predef.QAM64, "256QAM": Predef.QAM256}
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -94,18 +90,8 @@ def parse_args(argv):
             opts["input"] = "s16"
         elif a == "--f32":
             opts["input"] = "f32"
-        elif a == "--float-scale":
-            cfg.float_scale = float(val())
-        elif a == "-f":
-            cfg.Fs = float(val())
-        elif a == "--sr":
-            cfg.Fm = float(val())
-        elif a == "--tune":
-            cfg.Ftune = float(val())
         elif a == "--derotate":
             cfg.Fderot = float(val())
-        elif a == "--drift":
-            cfg.allow_drift = True
         elif a == "--loop":
             opts["loop"] = True
         elif a == "--awgn":
@@ -122,37 +108,8 @@ def parse_args(argv):
             cfg.decim = int(val())
         elif a == "--standard":
             opts["standard"] = val()
-        elif a == "--const":
-            cfg.constellation = consts[val()]
-        elif a == "--cr":
-            cfg.rate = val()
-            if cfg.rate not in ("1/2", "2/3", "3/4", "4/6", "5/6",
-                                "7/8", "4/5"):
-                print(f"** Error while processing '{cfg.rate}'",
-                      file=sys.stderr)
-                sys.exit(1)
-        elif a == "--sampler":
-            cfg.sampler = val()
-        elif a == "--rrc-steps":
-            cfg.rrc_steps = int(val())
-        elif a == "--rrc-rej":
-            cfg.rrc_rej = float(val())
-        elif a == "--roll-off":
-            cfg.rolloff = float(val())
         elif a == "--hard-metric":
             cfg.hard_metric = True
-        elif a == "--exact-lut":
-            cfg.exact_lut = True       # bit-exact LUT decision path
-        elif a == "--no-exact-lut":
-            cfg.exact_lut = False      # computed path (Mosaic kernel on TPU)
-        elif a == "--fastlock":
-            cfg.fastlock = True
-        elif a == "--viterbi":
-            cfg.viterbi = True
-        elif a == "--hq":
-            cfg.fastlock = True
-            cfg.viterbi = True
-            cfg.sampler = "rrc"
         elif a == "--hs":
             opts["hs"] = True
         elif a == "--hdlc":
@@ -175,6 +132,8 @@ def parse_args(argv):
             pass    # GUI replaced by the fd-info/const/spectrum streams
         elif a == "--nhelpers":
             val()
+        elif handle_dvbs_flag(a, val, cfg):
+            pass    # shared DVB-S flags (_dvbs_flags.py)
         else:
             usage(1)
         i += 1

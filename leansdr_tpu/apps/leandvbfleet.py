@@ -46,16 +46,11 @@ def usage(code=0, f=sys.stderr):
 
 def parse_args(argv):
     from ..pipelines.dvbs_rx import RxConfig
-    from ..dsp.cstln import Predef
+    from ._dvbs_flags import handle_dvbs_flag
 
     cfg = RxConfig()
     opts = {"input": "f32", "nchan": 0, "out_template": None,
             "fd_info": -1, "chunk": 1 << 16}
-    consts = {"BPSK": Predef.BPSK, "QPSK": Predef.QPSK,
-              "8PSK": Predef.PSK8, "16APSK": Predef.APSK16,
-              "32APSK": Predef.APSK32, "64APSKe": Predef.APSK64E,
-              "16QAM": Predef.QAM16, "64QAM": Predef.QAM64,
-              "256QAM": Predef.QAM256}
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -77,45 +72,8 @@ def parse_args(argv):
             opts["fd_info"] = int(val())
         elif a in ("--u8", "--s8", "--u16", "--s16", "--f32"):
             opts["input"] = a[2:]
-        elif a == "--float-scale":
-            cfg.float_scale = float(val())
-        elif a == "-f":
-            cfg.Fs = float(val())
-        elif a == "--sr":
-            cfg.Fm = float(val())
-        elif a == "--tune":
-            cfg.Ftune = float(val())
-        elif a == "--drift":
-            cfg.allow_drift = True
-        elif a == "--const":
-            cfg.constellation = consts[val()]
-        elif a == "--cr":
-            cfg.rate = val()
-            if cfg.rate not in ("1/2", "2/3", "3/4", "4/6", "5/6",
-                                "7/8", "4/5"):
-                print(f"** Error while processing '{cfg.rate}'",
-                      file=sys.stderr)
-                sys.exit(1)
-        elif a == "--sampler":
-            cfg.sampler = val()
-        elif a == "--rrc-steps":
-            cfg.rrc_steps = int(val())
-        elif a == "--rrc-rej":
-            cfg.rrc_rej = float(val())
-        elif a == "--roll-off":
-            cfg.rolloff = float(val())
-        elif a == "--exact-lut":
-            cfg.exact_lut = True
-        elif a == "--no-exact-lut":
-            cfg.exact_lut = False
-        elif a == "--fastlock":
-            cfg.fastlock = True
-        elif a == "--viterbi":
-            cfg.viterbi = True
-        elif a == "--hq":
-            cfg.fastlock = True
-            cfg.viterbi = True
-            cfg.sampler = "rrc"
+        elif handle_dvbs_flag(a, val, cfg):
+            pass
         else:
             sys.stderr.write(f"leandvbfleet: unknown option {a}\n")
             usage(1)
@@ -174,6 +132,8 @@ def main(argv=None):
             mux.flush()
 
     src = sys.stdin.buffer
+    import time
+    next_info = 0.0
     while True:
         raw = src.read(read_frames * frame_bytes)
         if not raw:
@@ -184,7 +144,10 @@ def main(argv=None):
         a = np.frombuffer(raw[:n * frame_bytes], dtype=dtype)
         iq = tofloat(a).reshape(n, nchan, 2).transpose(1, 0, 2)
         emit(rx.submit(np.ascontiguousarray(iq)))
-        if info:
+        # Info at ~1 Hz: metrics() fetches device state and would
+        # otherwise serialize the submit() pipeline every chunk.
+        if info and time.monotonic() >= next_info:
+            next_info = time.monotonic() + 1.0
             locks = rx.locks
             info.f.write(f"FLEETLOCKS {int(np.sum(locks))}\n")
             m = rx.metrics()

@@ -33,8 +33,9 @@ def build_lib(verbose: bool = False) -> Path | None:
     if so.exists():
         return so
     _BUILD.mkdir(exist_ok=True)
+    tmp = f"{so}.{os.getpid()}.tmp"     # unique: concurrent builders race
     cmd = ["g++", "-O2", "-std=c++17", "-shared", "-fPIC",
-           str(_SRC), "-o", str(so) + ".tmp"]
+           str(_SRC), "-o", tmp]
     try:
         r = subprocess.run(cmd, capture_output=True, text=True,
                            timeout=120)
@@ -44,7 +45,7 @@ def build_lib(verbose: bool = False) -> Path | None:
         if verbose:
             print(r.stderr)
         return None
-    os.replace(str(so) + ".tmp", so)
+    os.replace(tmp, so)                 # atomic publish
     return so
 
 

@@ -253,9 +253,17 @@ def make_byte_backend(nchan: int, fastlock: bool, on_next_sync=None,
         try:
             from ..native import NativeByteBackend
             return NativeByteBackend(nchan, fastlock, on_next_sync)
-        except Exception:
+        except Exception as e:
             if native:
                 raise
+            # "No compiler / opted out" is expected; anything else is a
+            # native-layer regression that must not hide behind the slow
+            # Python fallback.
+            if not (isinstance(e, RuntimeError)
+                    and "unavailable" in str(e)):
+                import sys
+                print(f"leansdr_tpu: native byte backend failed "
+                      f"({e!r}); using Python fallback", file=sys.stderr)
     return _ByteBackend(nchan, fastlock, on_next_sync)
 
 

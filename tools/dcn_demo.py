@@ -23,21 +23,27 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 
-PORT = 29531
 NPROC = 2
 LOCAL_DEV = 4
 
 
-def worker(pid: int, q):
+def _free_port() -> int:
+    import socket
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def worker(pid: int, port: int, q):
     try:
-        _worker(pid, q)
+        _worker(pid, port, q)
     except Exception as e:          # surface worker failures to the parent
         import traceback
         q.put({"process": pid, "error": repr(e),
                "tb": traceback.format_exc()})
 
 
-def _worker(pid: int, q):
+def _worker(pid: int, port: int, q):
     os.environ.pop("PALLAS_AXON_POOL_IPS", None)   # never touch the TPU
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (
@@ -48,7 +54,7 @@ def _worker(pid: int, q):
                       str(REPO / ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
     jax.distributed.initialize(
-        coordinator_address=f"localhost:{PORT}",
+        coordinator_address=f"localhost:{port}",
         num_processes=NPROC, process_id=pid)
     import numpy as np
     import jax.numpy as jnp
@@ -137,7 +143,9 @@ def _worker(pid: int, q):
 def main():
     mp.set_start_method("spawn")
     q = mp.Queue()
-    ps = [mp.Process(target=worker, args=(i, q)) for i in range(NPROC)]
+    port = _free_port()
+    ps = [mp.Process(target=worker, args=(i, port, q))
+          for i in range(NPROC)]
     for p in ps:
         p.start()
     results = [q.get(timeout=300) for _ in range(NPROC)]

@@ -11,7 +11,8 @@ run() {  # run <name> <timeout_s> <cmd...>
   echo "=== $name ($(date +%H:%M:%S)) ==="
   PYTHONUNBUFFERED=1 timeout "$tmo" "$@" 2>&1 | grep -v WARNING \
     | tee "$OUT/$name.txt" | tail -4
-  echo "--- rc=$? ---"
+  local rc=${PIPESTATUS[0]}           # the measured command's status,
+  echo "--- rc=$rc ---"               # not tail's
 }
 
 # health gate
