@@ -146,6 +146,13 @@ def main(argv=None):
             out1 = conn.detach()
         if l_info and l_info.fileno() in r:
             conn, _ = l_info.accept()
+            # Drain the request before replying: closing with the
+            # request unread makes strict clients see ECONNRESET.
+            conn.settimeout(1.0)
+            try:
+                conn.recv(4096)
+            except OSError:
+                pass
             conn.sendall(b"HTTP/1.0 200 OK\r\n"
                          b"Content-Type: application/json\r\n"
                          b"Access-Control-Allow-Origin: *\r\n\r\n"

@@ -1,0 +1,89 @@
+"""Smoke/behavior tests for the auxiliary app CLIs the e2e suite does
+not otherwise drive: leansdrcat (CBR pacing), leansdrscan (candidate
+product supervision), leansdrserv (HTTP supervisor)."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import time
+import urllib.request
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+ENV = {**os.environ, "JAX_PLATFORMS": "cpu"}
+ENV.pop("PALLAS_AXON_POOL_IPS", None)
+
+
+def test_leansdrcat_paces_cbr():
+    data = bytes(range(256)) * 64            # 16 KiB
+    t0 = time.perf_counter()
+    r = subprocess.run(
+        [sys.executable, "-m", "leansdr_tpu.apps.leansdrcat",
+         "--cbr8", "32768"],                  # 32 KiB/s -> ~0.5 s
+        input=data, capture_output=True, timeout=60, env=ENV,
+        cwd=str(REPO))
+    dt = time.perf_counter() - t0
+    assert r.returncode == 0
+    assert r.stdout == data                   # byte-transparent
+    assert dt >= 0.3                          # actually paced
+
+
+def test_leansdrscan_picks_working_candidate(tmp_path):
+    # Candidate command: `grep PATTERN` over alternatives where only one
+    # pattern matches. Finite capture -> --rewind mode: failed candidates
+    # rewind the file; the winner re-executes over the whole capture.
+    cap = tmp_path / "capture.txt"
+    cap.write_bytes(b"needle haystack\n" * 200)
+    with open(cap, "rb") as f:
+        r = subprocess.run(
+            [sys.executable, "-m", "leansdr_tpu.apps.leansdrscan",
+             "-t", "2", "--rewind", "grep", "xyzzy,needle"],
+            stdin=f, capture_output=True, timeout=120, env=ENV,
+            cwd=str(REPO))
+    assert r.returncode == 0, r.stderr.decode()[-500:]
+    assert r.stdout.count(b"needle haystack") == 200
+    assert b"Trying: grep xyzzy" in r.stderr   # losing candidate probed
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_leansdrserv_info_httpd():
+    port = _free_port()
+    # Child prints tagged info lines on fd 3 and data on stdout.
+    child = ("import os, time, sys\n"
+             "w = os.fdopen(3, 'w', buffering=1)\n"
+             "for k in range(50):\n"
+             "    w.write('MER %d\\n' % k)\n"
+             "    sys.stdout.write('x'); sys.stdout.flush()\n"
+             "    time.sleep(0.05)\n")
+    p = subprocess.Popen(
+        [sys.executable, "-m", "leansdr_tpu.apps.leansdrserv",
+         "--info3-httpd", str(port),
+         sys.executable, "-u", "-c", child],
+        stdout=subprocess.DEVNULL, stderr=subprocess.PIPE, env=ENV,
+        cwd=str(REPO))
+    try:
+        body = None
+        for _ in range(40):
+            time.sleep(0.25)
+            try:
+                body = urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/", timeout=2).read()
+                if b"MER" in body:
+                    break
+            except OSError:
+                continue
+        assert body and b"MER" in body, body
+        d = json.loads(body)
+        assert "MER" in d and d["MER"]
+    finally:
+        p.terminate()
+        p.wait(timeout=10)
