@@ -70,15 +70,14 @@ class BatchedSpectrum:
         out = []
         if blocks is None:
             return out
-        power = None
         for b in range(blocks.shape[1]):
             self.phase += self.NFFT
             if self.phase >= self.decimation:
                 self.phase -= self.decimation
-                if power is None:
-                    power = np.asarray(_batched_power(
-                        jnp.asarray(blocks), self.NFFT))
-                p = power[:, b]
+                # Only the triggered block's DFT (blocks that never
+                # trigger would waste B x the MXU work).
+                p = np.asarray(_batched_power(
+                    jnp.asarray(blocks[:, b:b + 1]), self.NFFT))[:, 0]
                 if self.avgpower is None:
                     self.avgpower = p.copy()
                 self.avgpower = (self.avgpower * (1 - self.kavg)
@@ -138,15 +137,12 @@ class BatchedCnrFft:
         out = []
         if blocks is None:
             return out
-        power = None
         for b in range(blocks.shape[1]):
             self.phase += self.nfft
             if self.phase >= self.decimation:
                 self.phase -= self.decimation
-                if power is None:
-                    power = np.asarray(_batched_power(
-                        jnp.asarray(blocks), self.nfft))
-                p = power[:, b]
+                p = np.asarray(_batched_power(
+                    jnp.asarray(blocks[:, b:b + 1]), self.nfft))[:, 0]
                 if self.avgpower is None:
                     self.avgpower = p.copy()
                 self.avgpower = (self.avgpower * (1 - self.kavg)

@@ -121,22 +121,15 @@ def init_state(params: ReceiverParams, nchan: int):
 
 def _lookup(tabs, I, Q):
     """LUT gather with the reference's overflow-halving and s8 truncation
-    (sdr.h:470-485)."""
-    lut_cost, lut_symbol, lut_phase = tabs
-    for _ in range(12):
-        over = (I < -128) | (I > 127) | (Q < -128) | (Q > 127)
-        I = jnp.where(over, I * 0.5, I)
-        Q = jnp.where(over, Q * 0.5, Q)
-    i8 = jnp.trunc(I).astype(jnp.int32) & 255
-    q8 = jnp.trunc(Q).astype(jnp.int32) & 255
-    idx = i8 * 256 + q8
-    return lut_cost[idx], lut_symbol[idx], lut_phase[idx]
+    (sdr.h:470-485) — delegates to the one implementation."""
+    from .cstln import lookup_float
+    return lookup_float(*tabs, I, Q)
 
 
 def _expi(trig, a):
     """trig16.expi(float): truncate toward zero, wrap to u16 (math.h:108)."""
-    idx = jnp.trunc(a).astype(jnp.int32) & 0xFFFF
-    e = trig[idx]
+    from .math_utils import expi_float
+    e = expi_float(trig, a)
     return e[..., 0], e[..., 1]
 
 
@@ -158,7 +151,7 @@ def _lookup_computed(tables, I, Q):
     """
     sym_re, sym_im = tables["sym_re"], tables["sym_im"]      # [nsym] f32
     sym_phase = tables["sym_phase"]                          # [nsym] f32
-    for _ in range(4):     # 4 rounds cover |IQ| < 2048 (kernel-matched)
+    for _ in range(12):    # 12 rounds like the reference (sdr.h:470-485)
         over = (I < -128) | (I > 127) | (Q < -128) | (Q > 127)
         I = jnp.where(over, I * 0.5, I)
         Q = jnp.where(over, Q * 0.5, Q)

@@ -146,22 +146,33 @@ def _demod_kernel(params: ReceiverParams, sym_re, sym_im, sym_phase, nsub,
         s_re = sg_re * agc_gain
         s_im = sg_im * agc_gain
 
-        # constellation decision (computed LUT semantics); 4 halving
-        # rounds cover |IQ| < 2048 (AGC keeps amplitudes near 75).
-        # The rounds are data-independent given the start value (range
-        # doubles per round, halving is exact), so they evaluate as 4
-        # PARALLEL threshold tests instead of a serial halving chain.
+        # constellation decision (computed LUT semantics). The
+        # reference halves out-of-range IQ up to 12 rounds
+        # (sdr.h:470-485); round j triggers iff any coordinate exceeds
+        # [-128*2^j, 127*2^j], so the round count is
+        #   k = min(12, max over coords/sides of ceil(log2(v / bound)))
+        # computed EXACTLY from the f32 exponent bits: for positive
+        # normals, v > b*2^j  <=>  bits(v) > bits(b) + (j << 23), so the
+        # count of satisfied j is ceil((bits(v) - bits(b)) / 2^23).
+        # 2^-k is then built directly as exponent bits. Bit-identical to
+        # the sequential rounds (they are pure comparisons + exact
+        # halvings) at a fraction of the dependency depth.
         I, Q = s_re, s_im
-        k_half = jnp.zeros((nsub, LANE), jnp.float32)
-        for j in range(4):
-            lo, hi = -128.0 * 2 ** j, 127.0 * 2 ** j
-            over = (I < lo) | (I > hi) | (Q < lo) | (Q > hi)
-            k_half = k_half + over.astype(jnp.float32)
-        scale = jnp.where(k_half == 0, 1.0,
-                          jnp.where(k_half == 1, 0.5,
-                                    jnp.where(k_half == 2, 0.25,
-                                              jnp.where(k_half == 3,
-                                                        0.125, 0.0625))))
+        B_HI = jnp.int32(0x42FE0000)       # bits(127.0f)
+        B_LO = jnp.int32(0x43000000)       # bits(128.0f)
+        zero_i = jnp.zeros((nsub, LANE), jnp.int32)
+
+        def _kceil(v, bref, bound):
+            b = jax.lax.bitcast_convert_type(v, jnp.int32)
+            k = (b - bref + jnp.int32(0x7FFFFF)) >> 23
+            return jnp.where(v > bound, k, zero_i)
+
+        k_half = jnp.maximum(
+            jnp.maximum(_kceil(I, B_HI, 127.0), _kceil(-I, B_LO, 128.0)),
+            jnp.maximum(_kceil(Q, B_HI, 127.0), _kceil(-Q, B_LO, 128.0)))
+        k_half = jnp.minimum(k_half, 12)
+        scale = jax.lax.bitcast_convert_type(
+            (jnp.int32(127) - k_half) << 23, jnp.float32)
         I = I * scale
         Q = Q * scale
         i8 = jnp.trunc(I)

@@ -179,6 +179,15 @@ def deconv_append(plan: DeconvPlan, state, sym, valid, cost=None):
     n, C = sym.shape
     D = DELTA_MAX
     fill = state["fill"]                                   # [C] i32
+    # Drift guard: a channel with no carrier emits symbols at a slightly
+    # different rate (M&M random walk), so per-channel fills are an
+    # unbounded random walk around the fleet and can exceed the dummy-
+    # prefix window, which would silently misplace the LEADERS' writes.
+    # Laggards beyond the window are dragged forward instead: their
+    # stream gets a discontinuity (they are producing garbage anyway —
+    # framing drops it and re-locks), and every in-window channel stays
+    # exact.
+    fill = jnp.maximum(fill, jnp.max(fill) - (D - 1))
     fill_min = jnp.min(fill)
     delta = fill - fill_min                                # [C] >= 0
     csum = jnp.cumsum(valid.astype(jnp.int32), axis=0)     # [n, C]

@@ -110,7 +110,7 @@ def syndromes(packets: np.ndarray) -> np.ndarray:
     packets = np.atleast_2d(np.asarray(packets, dtype=np.uint8))
     if packets.shape[0] >= 64:
         bits = np.unpackbits(packets, axis=1).astype(np.float32)
-        M = gf2_syndrome_matrix().astype(np.float32)     # [1632, 128]
+        M = _gf2_syndrome_matrix_f32()                   # [1632, 128]
         sbits = (bits @ M).astype(np.int32) & 1
         return np.packbits(sbits.astype(np.uint8), axis=1)
     c = _syndrome_consts()                   # [204,16]
@@ -265,6 +265,13 @@ def gf2_encode_matrix() -> np.ndarray:
             enc = encode(msg[None, :])[0, MSG_SIZE:]
             rows.append(np.unpackbits(enc))
     return np.array(rows, dtype=np.int8)
+
+
+@lru_cache(maxsize=None)
+def _gf2_syndrome_matrix_f32() -> np.ndarray:
+    """float32 copy of gf2_syndrome_matrix for the host BLAS path (the
+    conversion is not free at per-chunk cadence)."""
+    return gf2_syndrome_matrix().astype(np.float32)
 
 
 @lru_cache(maxsize=None)

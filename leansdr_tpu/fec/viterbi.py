@@ -387,7 +387,8 @@ class ViterbiSyncDevice(ViterbiSync):
         costs = self.cost_backlog.astype(np.int64)
         cs, cost = self._block_inputs(self.sym_backlog, costs, B)
 
-        bank = self.bank
+        # (self.bank is unused here: _dev_state supersedes the host bank
+        # on the device path.)
         if not hasattr(self, "_dev_state"):
             self._dev_state = (
                 jnp.zeros((self.nsyncs, NSTATES), jnp.int32),

@@ -121,3 +121,33 @@ def test_device_deconv_matches_host_blocks():
     np.testing.assert_array_equal(by[0, :nb], host[:nb])
     np.testing.assert_array_equal(by[1, :nb], host[:nb])
     assert int(np.asarray(errs).sum()) == 0
+
+
+def test_append_drift_guard_protects_leaders():
+    """A channel whose fill lags the fleet by more than DELTA_MAX must
+    not corrupt the in-window channels' ring contents (the laggard is
+    dragged forward with a documented stream discontinuity)."""
+    from leansdr_tpu.fec.deconv_device import (DELTA_MAX, deconv_append,
+                                               make_plan)
+    rng = np.random.default_rng(3)
+    C, n = 3, 512
+    plan = make_plan("1/2", C, n, omega=2.0)
+    state = {
+        "buf": jnp.zeros((plan.cap, C), jnp.uint8),
+        "fill": jnp.asarray([1000, 1000 - (DELTA_MAX + 200), 990],
+                            np.int32),
+        "locked": jnp.zeros(C, np.int32),
+    }
+    sym = rng.integers(0, 4, (n, C)).astype(np.uint8)
+    valid = rng.random((n, C)) < 0.5
+    st2 = deconv_append(plan, state, jnp.asarray(sym),
+                        jnp.asarray(valid), None)
+    buf = np.asarray(st2["buf"])
+    fill2 = np.asarray(st2["fill"])
+    for c in (0, 2):                       # in-window channels: exact
+        start = [1000, None, 990][c]
+        vs = sym[valid[:, c], c]
+        np.testing.assert_array_equal(buf[start:start + len(vs), c], vs)
+        assert fill2[c] == start + len(vs)
+    # The laggard was dragged into the window, not beyond the leaders.
+    assert fill2[1] >= fill2.max() - (DELTA_MAX + n)

@@ -39,6 +39,35 @@ def test_kernel_matches_scan_path():
             1e-3, 1e-4 * abs(float(s_x[k][0]))), k
 
 
+def test_kernel_matches_scan_path_huge_amplitudes():
+    """|IQ| >= 2048 exercises halving rounds 5..12 (sdr.h:470-485):
+    unscaled --s16/--f32 inputs hit this during acquisition while the
+    AGC is still converging."""
+    pkts = tsgen.generate(20)
+    iq = dvbs_tx.modulate(pkts, dvbs_tx.TxConfig(rate="1/2", interp=2))
+    cstln = make_dvbs2_constellation(Predef.QPSK, "1/2")
+    tables = receiver.make_tables(cstln)
+    params = receiver.ReceiverParams(omega=2.0, sampler="linear",
+                                     nsymbols=4, exact_lut=False)
+    n = min((len(iq) - 1) // 128 * 128, 1024)
+    x = jnp.asarray(iq[None, :n + 1, :]) * 300.0   # amplitudes ~22000
+
+    st0 = receiver.init_state(params, 1)
+    s_x, o_x = receiver.run_chunks(params, tables, st0, x)
+
+    st_p, packed = rp.demod_pallas(params, rp.sym_constants(cstln),
+                                   rp.pack_state(st0), x, interpret=True)
+    cost, sym, valid = rp.unpack_outputs(packed, 1)
+    vx = np.asarray(o_x["valid"][0])
+    assert (vx == valid[0]).all()
+    np.testing.assert_array_equal(
+        np.asarray(o_x["symbol"][0])[vx], sym[0][valid[0]])
+    np.testing.assert_array_equal(
+        np.asarray(o_x["cost"][0])[vx], cost[0][valid[0]])
+    # The soft costs must not be saturated to zero (the 4-round bug).
+    assert (np.asarray(o_x["cost"][0])[vx] != 0).any()
+
+
 def test_state_pack_roundtrip():
     params = receiver.ReceiverParams(omega=1.5, nsymbols=4)
     st = receiver.init_state(params, 7)
