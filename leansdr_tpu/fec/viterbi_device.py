@@ -252,6 +252,9 @@ class ViterbiPlan:
     # runs (the TPU analogue of the reference's resync_period gating,
     # dvb.h:1241 — replicas cost lane slabs here instead of CPU time).
     nsyncs: int = NSYNCS
+    # Replica structure for the all-rate XLA path (nshifts > 1 codes):
+    nconj: int = 2
+    nrot: int = 2
 
     @property
     def nblocks(self) -> int:
@@ -376,6 +379,105 @@ def viterbi_decode(plan: ViterbiPlan, state, maps, interpret=False):
     return new, by, dsel, underflow
 
 
+@partial(jax.jit, static_argnames=("plan", "maps"))
+def viterbi_decode_xla(plan: ViterbiPlan, state, maps):
+    """All-rate fleet decode: the batched XLA-scan ACS over S = C *
+    nsyncs replica lanes (reuses fec/viterbi._viterbi_chunk_device,
+    which supports every DVB-S rate via the dense trellis gathers).
+
+    Used when the Pallas bank's constant-geometry butterfly does not
+    apply (punctured rates: nshifts > 1, viterbi_sync dvb.h:1179-1212).
+    Slower than the rate-1/2 bank but device-resident and exact.
+
+    Returns (new_state, bytes [C, nbytes] u8, discr [C, E+1] i32 with
+    the elected sync in the last column, underflow [C] bool).
+    """
+    from .viterbi import _viterbi_chunk_device
+    t = make_trellis(plan.rate)
+    bits_in = t.bits_in
+    bps = t.bits_out // plan.nshifts
+    C, E, ns = plan.nchan, plan.E, plan.nshifts
+    T = plan.nblocks
+    M = plan.nconj * plan.nrot
+    nsyncs = M * ns
+    S = C * nsyncs
+    underflow = state["fill"] < plan.needed
+
+    win_sym = state["buf"][:plan.needed].astype(jnp.int32)   # [need, C]
+    win_cost = state["cost"][:plan.needed].astype(jnp.int32)
+
+    nsym = len(maps[0])
+    maps_arr = np.asarray(maps, np.int32)                    # [M, nsym]
+    # Replica order matches ViterbiSync: sync s = shift * M + map
+    # (viterbi.py sync_shift/sync_map).
+    cs_parts, cost_parts = [], []
+    msyms = []
+    for m in range(M):
+        ms = jnp.zeros(win_sym.shape, jnp.int32)
+        for v in range(nsym):
+            ms = jnp.where(win_sym == v, np.int32(maps_arr[m, v]), ms)
+        msyms.append(ms)
+    for sh in range(ns):
+        for m in range(M):
+            cs_b = jnp.zeros((T, C), jnp.int32)
+            cost_b = jnp.zeros((T, C), jnp.int32)
+            for i in range(ns):
+                o = sh + i
+                lim = o + (T - 1) * ns + 1
+                sl = jax.lax.slice(msyms[m], (o, 0), (lim, C), (ns, 1))
+                cl = jax.lax.slice(win_cost, (o, 0), (lim, C), (ns, 1))
+                cs_b = (cs_b << bps) | sl
+                cost_b = cost_b + cl
+            cs_parts.append(cs_b)
+            cost_parts.append(cost_b)
+    cs_all = jnp.stack(cs_parts, axis=2).reshape(T, S)       # [T, S]
+    cost_all = jnp.stack(cost_parts, axis=2).reshape(T, S)
+
+    cst, phi, plo, us, q = _viterbi_chunk_device(
+        plan.rate, state["metric"], state["path_hi"], state["path_lo"],
+        cs_all.T, cost_all.T)
+    us = us.T.reshape(T, C, nsyncs)                          # [T, C, ns]
+    q = q.T.reshape(T, C, nsyncs)
+
+    # Election per P_SUB sub-block (same rule as viterbi_decode).
+    dd = 64 // bits_in
+    qs = q.reshape(E, P_SUB, C, nsyncs)
+    qsum = qs[:, dd:].sum(axis=1)                            # [E, C, S]
+
+    def elect(cur, qk):
+        best = jnp.argmax(qk, axis=1).astype(jnp.int32)
+        bv = jnp.take_along_axis(qk, best[:, None], axis=1)[:, 0]
+        cv = jnp.take_along_axis(qk, cur[:, None], axis=1)[:, 0]
+        return jnp.where(bv > cv, best, cur), cur
+
+    cur_out, elected = jax.lax.scan(elect, state["current"], qsum)
+    use = us.reshape(E, P_SUB, C, nsyncs)
+    sel = jnp.take_along_axis(
+        use, elected[:, None, :, None], axis=3)[:, :, :, 0]  # [E,P,C]
+    blocks = sel.reshape(T, C).transpose(1, 0)               # [C, T]
+    # Expand bits_in bits per block (MSB first), pack to bytes.
+    shifts = jnp.asarray(
+        np.arange(bits_in - 1, -1, -1, dtype=np.int32))
+    bits = ((blocks[:, :, None] >> shifts) & 1).reshape(
+        C, T * bits_in).astype(jnp.uint8)
+    w = jnp.asarray((1 << np.arange(7, -1, -1)).astype(np.int32))
+    by = jnp.sum(bits.reshape(C, T * bits_in // 8, 8) * w, axis=2,
+                 dtype=jnp.int32).astype(jnp.uint8)
+    dsel = jnp.take_along_axis(
+        qsum, elected[:, :, None], axis=2)[:, :, 0].T        # [C, E]
+    dsel = jnp.concatenate([dsel, cur_out[:, None]], axis=1)
+
+    Sc = plan.consumed
+    buf = jnp.concatenate(
+        [state["buf"][Sc:], jnp.zeros((Sc, C), jnp.uint8)], axis=0)
+    cbuf = jnp.concatenate(
+        [state["cost"][Sc:], jnp.zeros((Sc, C), jnp.int16)], axis=0)
+    new = dict(state, buf=buf, cost=cbuf,
+               fill=jnp.maximum(state["fill"] - Sc, 0),
+               metric=cst, path_hi=phi, path_lo=plo, current=cur_out)
+    return new, by, dsel, underflow
+
+
 @partial(jax.jit, static_argnames=("C", "n_trk"))
 def _planes_to_track(metric, path, current, C: int, n_trk: int):
     """Keep only each channel's elected sync replica's trellis state."""
@@ -413,30 +515,43 @@ class MultiViterbiSync:
                  omega: float, fastlock: bool = True,
                  interpret: bool | None = None):
         maps, nconj, nrot, nshifts = make_sync_maps(cstln, rate)
-        if nconj * nrot != NSYNCS or nshifts != 1:
-            raise NotImplementedError(
-                "device Viterbi supports 4-sync, nshifts=1 codes "
-                "(QPSK rate 1/2); use ViterbiSyncDevice per channel")
         self.maps = tuple(tuple(int(v) for v in row) for row in maps)
+        # nshifts=1, 4-sync codes (QPSK rate 1/2, the north-star config)
+        # use the Pallas constant-geometry ACS bank; everything else
+        # (punctured rates expand puncturing into the trellis with
+        # nshifts symbol-offset replicas, dvb.h:1179-1212) uses the
+        # all-rate batched XLA-scan ACS (viterbi_decode_xla).
+        self.xla = not (nconj * nrot == NSYNCS and nshifts == 1)
         prod = int(nsamp / omega)
-        E = max(1, prod // P_SUB)
-        cap = E * P_SUB + prod + nsamp + DELTA_MAX + 8192
-        self.plan = ViterbiPlan(rate, nchan, nsamp, nshifts, E, cap)
+        E = max(1, prod // (P_SUB * nshifts))
+        cap = E * P_SUB * nshifts + prod + nsamp + DELTA_MAX + 8192
+        nsyncs = nconj * nrot * nshifts
+        self.plan = ViterbiPlan(rate, nchan, nsamp, nshifts, E, cap,
+                                nsyncs=nsyncs, nconj=nconj, nrot=nrot)
         self.plan_track = ViterbiPlan(rate, nchan, nsamp, nshifts, E,
-                                      cap, nsyncs=1)
+                                      cap, nsyncs=1, nconj=nconj,
+                                      nrot=nrot)
         self.interpret = (jax.default_backend() == "cpu"
                           if interpret is None else interpret)
         C = nchan
-        N = self.plan.n_lanes
         self.state = {
             "buf": jnp.zeros((cap, C), jnp.uint8),
             "cost": jnp.zeros((cap, C), jnp.int16),
             "fill": jnp.zeros(C, jnp.int32),
-            "metric": jnp.zeros((64, N), jnp.int32),
-            "path": jnp.zeros((64, N), jnp.int32),
             "current": jnp.zeros(C, jnp.int32),
             "tsync": jnp.zeros(C, jnp.int32),
         }
+        if self.xla:
+            S = C * nsyncs
+            self.state.update(
+                metric=jnp.zeros((S, 64), jnp.int32),
+                path_hi=jnp.zeros((S, 64), jnp.uint32),
+                path_lo=jnp.zeros((S, 64), jnp.uint32))
+        else:
+            N = self.plan.n_lanes
+            self.state.update(
+                metric=jnp.zeros((64, N), jnp.int32),
+                path=jnp.zeros((64, N), jnp.int32))
         self._est_fill = 0
         # TRACK-mode policy (host side, fed by observe() from the
         # fetched discriminants — one chunk of lag, no extra round
@@ -467,7 +582,7 @@ class MultiViterbiSync:
     def apply_pending_transition(self):
         """Apply a pending ACQUIRE<->TRACK switch to the trellis planes
         (requested by observe() between chunks)."""
-        if self._want_track == self.track:
+        if self.xla or self._want_track == self.track:
             return
         C = self.plan.nchan
         st = self.state
@@ -484,18 +599,25 @@ class MultiViterbiSync:
 
     def decode(self):
         self.apply_pending_transition()
-        plan = self.plan_track if self.track else self.plan
-        self.state, by, discr, under = viterbi_decode(
-            plan, self.state, self.maps, interpret=self.interpret)
+        plan = self.plan_dec
+        if self.xla:
+            self.state, by, discr, under = viterbi_decode_xla(
+                plan, self.state, self.maps)
+        else:
+            self.state, by, discr, under = viterbi_decode(
+                plan, self.state, self.maps, interpret=self.interpret)
         self._est_fill -= plan.consumed
         return by, discr, under
 
     # -- fused-dispatch interface (pipelines/multi_rx._fused_chunk) ------
-    kind = "viterbi"
+    @property
+    def kind(self):
+        return "viterbi_xla" if self.xla else "viterbi"
 
     @property
     def plan_dec(self):
-        return self.plan_track if self.track else self.plan
+        return (self.plan if self.xla
+                else self.plan_track if self.track else self.plan)
 
     def schedule_decode(self) -> int:
         """Bookkeeping-only equivalent of `while can_decode(): decode`."""
@@ -509,7 +631,7 @@ class MultiViterbiSync:
         """Host feedback from a fetched decode: discr [C, E+1] i32 with
         the elected sync index in the last column. Drives the
         ACQUIRE<->TRACK transition (see __init__)."""
-        if under.any():
+        if under.any() or self.xla:     # XLA path has no TRACK mode
             return
         cur = discr[:, -1]
         d = discr[:, :-1].mean(axis=1)

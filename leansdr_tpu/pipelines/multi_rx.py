@@ -81,7 +81,7 @@ def _fused_chunk(params, sym_consts, mf_taps, nchan, kind, plan, plan_dec,
     from ..dsp.mf_prefilter import mf_prefilter
     from ..fec.deconv_device import deconv_append, deconv_decode
     from ..fec.viterbi_device import viterbi_decode
-    want_cost = kind == "viterbi"
+    want_cost = kind.startswith("viterbi")
     if mf_taps is not None:
         freqw = (dem_state[2].reshape(-1)[:nchan] if use_pallas
                  else dem_state["freqw"])
@@ -107,6 +107,10 @@ def _fused_chunk(params, sym_consts, mf_taps, nchan, kind, plan, plan_dec,
             if kind == "viterbi":
                 dstate, by, errs, under = viterbi_decode(
                     plan_dec, dstate, maps, interpret=interpret)
+            elif kind == "viterbi_xla":
+                from ..fec.viterbi_device import viterbi_decode_xla
+                dstate, by, errs, under = viterbi_decode_xla(
+                    plan_dec, dstate, maps)
             else:
                 dstate, by, errs, under = deconv_decode(plan_dec, dstate)
             flat += [by, errs, under]
@@ -444,7 +448,8 @@ class MultiDvbsReceiver:
         else:
             self.state = dem_state
         self.deconv.state = dstate
-        ecols = plan_dec.E + (1 if self.deconv.kind == "viterbi" else 0)
+        ecols = plan_dec.E + (1 if self.deconv.kind.startswith("viterbi")
+                              else 0)
         shapes = [(plan_dec.nbytes, ecols)] * sum(schedule)
         return packed_out, shapes
 

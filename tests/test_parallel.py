@@ -260,3 +260,24 @@ def test_time_sharded_ring_demod_exact_state_handoff():
                                   np.asarray(out1["symbol"])[:, :n])
     np.testing.assert_array_equal(val.reshape(D, n),
                                   np.asarray(out1["valid"])[:, :n])
+
+
+def test_multi_channel_viterbi_punctured_rate_decodes():
+    """Punctured-rate fleets (--viterbi --cr 3/4) route through the
+    all-rate XLA-scan ACS (viterbi_decode_xla) and decode to TS."""
+    nchan = 2
+    x, payloads = _stimulus(nchan, npackets=200, rate="3/4")
+    rx = MultiDvbsReceiver(
+        RxConfig(Fs=4e6, Fm=2e6, rate="3/4", fastlock=True,
+                 float_scale=75.0, exact_lut=False, viterbi=True),
+        nchan, use_pallas=False)
+    assert rx.deconv.kind == "viterbi_xla"
+    outs = [np.empty((0, 188), np.uint8)] * nchan
+    for i in range(0, x.shape[1], 1 << 16):
+        res = rx.process(x[:, i:i + (1 << 16)])
+        outs = [np.concatenate([a, b]) for a, b in zip(outs, res)]
+    for c in range(nchan):
+        assert len(outs[c]) >= 60, f"channel {c}: {len(outs[c])}"
+        hits = sum(1 for o in outs[c]
+                   if (payloads[c] == o).all(axis=1).any())
+        assert hits >= 0.95 * len(outs[c]), f"channel {c}"

@@ -90,10 +90,48 @@ def test_multi_viterbi_matches_host_sync():
                               else ref[-tail:]), f"channel {c}"
 
 
-def test_multi_viterbi_rejects_unsupported():
-    cstln = make_dvbs2_constellation(Predef.QPSK, "3/4")
-    with pytest.raises(NotImplementedError):
-        MultiViterbiSync(cstln, "3/4", 2, 4096, 1.0, interpret=True)
+@pytest.mark.parametrize("rate", ["3/4", "2/3", "5/6"])
+def test_multi_viterbi_all_rates_matches_host(rate):
+    """Punctured rates route to the all-rate XLA-scan ACS
+    (viterbi_decode_xla): byte stream == host ViterbiSync per channel,
+    with per-channel sync rotations so different replicas win."""
+    cstln = make_dvbs2_constellation(Predef.QPSK, rate)
+    from leansdr_tpu.fec import convenc
+    r = "4/6" if rate == "2/3" else rate
+    C = 2
+    ns = vit.make_sync_maps(cstln, r)[3]
+    nsamp = 2 * P_SUB * ns + 64 * ns   # E=2: tail is post-election
+    rng = np.random.default_rng(11)
+    syms = np.zeros((nsamp, C), np.uint8)
+    costs = np.full((nsamp, C), -40, np.int16)
+    maps = vit.make_sync_maps(cstln, r)[0]
+    bits_in = vit.make_trellis(r).bits_in
+    nbits = nsamp // ns * bits_in // 8 * 8
+    for c, rot in enumerate([0, 2]):
+        data = rng.integers(0, 256, nbits // 8, dtype=np.uint8)
+        cs, _ = convenc.encode(data, r, 2)
+        inv = np.argsort(maps[rot])
+        syms[:len(cs), c] = inv[cs]
+    valid = np.ones((nsamp, C), bool)
+
+    mv = MultiViterbiSync(cstln, r, C, nsamp, 1.0, interpret=True)
+    assert mv.xla and mv.kind == "viterbi_xla"
+    mv.append(jnp.asarray(syms), jnp.asarray(valid), jnp.asarray(costs))
+    mv.note_production(nsamp)
+    assert mv.can_decode()
+    by, discr, under = mv.decode()
+    by = np.asarray(by)
+    assert not np.asarray(under).any()
+
+    for c in range(C):
+        host = vit.ViterbiSync(cstln, r, fastlock=True)
+        ref = host.process(syms[:, c], costs[:, c].astype(np.int64))
+        n = mv.plan.nbytes
+        tail = min(len(ref), n) // 2
+        assert tail > 40, (tail, len(ref), n)
+        assert np.array_equal(by[c, n - tail:n],
+                              ref[len(ref) - tail:len(ref)] if len(ref) >= n
+                              else ref[-tail:]), f"channel {c}"
 
 
 def test_track_mode_policy_transitions():
