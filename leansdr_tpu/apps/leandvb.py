@@ -140,6 +140,10 @@ def parse_args(argv):
     if opts["fd_spectrum"] >= 0:
         cfg.want_spectrum = True
     if opts["hs"]:
+        if opts["input"] != "u8":
+            print("** --hs requires u8 input (fast_qpsk_receiver is "
+                  "a u8 pipeline, sdr.h:946)", file=sys.stderr)
+            sys.exit(1)
         cfg.hs = True
         cfg.anf = 0
     if opts["fd_const"] >= 0:
@@ -188,7 +192,8 @@ def main(argv=None):
         if info:
             n = len(rx.meas["freq"])
             for k in range(meas_sent["freq"], n):
-                info.freq(rx.meas["freq"][k], scale=cfg.Fs)
+                # freq_tap is cycles/sample at the POST-decimation rate
+                info.freq(rx.meas["freq"][k], scale=rx.Fs_eff)
                 info.ss(rx.meas["ss"][k])
                 info.mer(rx.meas["mer"][k])
             meas_sent["freq"] = n

@@ -10,16 +10,12 @@ import numpy as np
 
 def main(argv=None):
     from ..pipelines import dvbs_tx
-    from ..dsp.cstln import Predef
     from ..util.iofmt import write_iq
 
     argv = sys.argv[1:] if argv is None else argv
     cfg = dvbs_tx.TxConfig()
     out_fmt = "f32"
-    consts = {"BPSK": Predef.BPSK, "QPSK": Predef.QPSK, "8PSK": Predef.PSK8,
-              "16APSK": Predef.APSK16, "32APSK": Predef.APSK32,
-              "64APSKe": Predef.APSK64E, "16QAM": Predef.QAM16,
-              "64QAM": Predef.QAM64, "256QAM": Predef.QAM256}
+    from ._dvbs_flags import CODE_RATES, CONSTELLATIONS as consts
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -36,8 +32,7 @@ def main(argv=None):
             pass
         elif a == "--cr":
             cfg.rate = val()
-            if cfg.rate not in ("1/2", "2/3", "3/4", "4/6", "5/6",
-                                "7/8", "4/5"):
+            if cfg.rate not in CODE_RATES:
                 print(f"** Error while processing '{cfg.rate}'",
                       file=sys.stderr)
                 return 1

@@ -30,31 +30,52 @@ def expand(args):
 
 def run_candidate(cmd, timeout, rewind):
     """run_program (leansdrscan.cc:62-158): bridge stdin -> child ->
-    stdout with a no-output watchdog. Returns True once the child has
-    produced output (success)."""
+    stdout with a no-output watchdog. Returns (success, saw_eof):
+    success once the child has produced output; saw_eof when stdin
+    ran out (so a live-mode caller can stop respawning candidates)."""
     proc = subprocess.Popen(cmd, stdin=subprocess.PIPE,
                             stdout=subprocess.PIPE)
     stdin_fd = sys.stdin.buffer.fileno()
     out_fd = proc.stdout.fileno()
+    in_fd = proc.stdin.fileno()
+    # Non-blocking child stdin: a child that stops READING must not
+    # defeat the no-output watchdog by blocking our write.
+    import fcntl
+    fcntl.fcntl(in_fd, fcntl.F_SETFL,
+                fcntl.fcntl(in_fd, fcntl.F_GETFL) | os.O_NONBLOCK)
+    pending = b""
     success = False
     last_output = time.time()
     stdin_open = True
     try:
         while True:
             rlist = [out_fd]
-            if stdin_open and proc.stdin:
-                # Only read more input when the child pipe can take it.
+            wlist = [in_fd] if pending else []
+            if stdin_open and not pending:
                 rlist.append(stdin_fd)
-            r, _, _ = select.select(rlist, [], [], 0.5)
+            r, w, _ = select.select(rlist, wlist, [], 0.5)
+            if in_fd in w and pending:
+                try:
+                    nw = os.write(in_fd, pending)
+                    pending = pending[nw:]
+                    if not pending and not stdin_open:
+                        proc.stdin.close()
+                except (BrokenPipeError, BlockingIOError):
+                    if isinstance(sys.exc_info()[1], BrokenPipeError):
+                        break
             if stdin_fd in r:
                 data = os.read(stdin_fd, 65536)
                 if not data:
                     stdin_open = False
-                    proc.stdin.close()
+                    if not pending:
+                        proc.stdin.close()
                 else:
+                    pending = data
                     try:
-                        proc.stdin.write(data)
-                        proc.stdin.flush()
+                        nw = os.write(in_fd, pending)
+                        pending = pending[nw:]
+                    except BlockingIOError:
+                        pass
                     except BrokenPipeError:
                         break
             if out_fd in r:
@@ -76,7 +97,7 @@ def run_candidate(cmd, timeout, rewind):
         if proc.poll() is None:
             proc.kill()
         proc.wait()
-    return success
+    return success, not stdin_open
 
 
 def main(argv=None):
@@ -102,6 +123,7 @@ def main(argv=None):
         return 1
 
     while True:
+        saw_eof = False
         for cmd in expand(template):
             print(f"Trying: {' '.join(cmd)}", file=sys.stderr)
             if rewind:
@@ -109,15 +131,17 @@ def main(argv=None):
                     os.lseek(sys.stdin.buffer.fileno(), 0, os.SEEK_SET)
                 except OSError:
                     pass
-            if run_candidate(cmd, timeout, rewind):
+            ok, eof = run_candidate(cmd, timeout, rewind)
+            saw_eof = saw_eof or eof
+            if ok:
                 if rewind:
                     # Reprocess the whole file with the winner
                     # (leansdrscan.cc:187-199).
                     os.lseek(sys.stdin.buffer.fileno(), 0, os.SEEK_SET)
                     os.execvp(cmd[0], cmd)
                 return 0
-        if rewind:
-            return 1    # all candidates failed on a finite file
+        if rewind or saw_eof:
+            return 1    # all candidates failed on a finite stream
 
 
 if __name__ == "__main__":

@@ -48,6 +48,21 @@ def drand48_sequence(n: int, seed: int = DRAND48_DEFAULT_SEED) -> np.ndarray:
     return xs[:n].astype(np.float64) / float(1 << 48)
 
 
+def drand48_jump(k: int, seed: int = DRAND48_DEFAULT_SEED) -> int:
+    """drand48 state after k draws from `seed` (O(log k) LCG jump).
+
+    Feeding the result back as `seed` continues the stream exactly:
+    chunked noise generation matches one continuous draw sequence."""
+    a, c, x = _A, _C, int(seed)
+    while k:
+        if k & 1:
+            x = (a * x + c) & _M48
+        c = (a * c + c) & _M48
+        a = (a * a) & _M48
+        k >>= 1
+    return x
+
+
 def wgn_c(nsamples: int, stddev: float, seed: int = DRAND48_DEFAULT_SEED):
     """Complex AWGN exactly as wgn_c (dsp.h:172-183).
 
@@ -62,7 +77,7 @@ def wgn_c(nsamples: int, stddev: float, seed: int = DRAND48_DEFAULT_SEED):
     # Acceptance rate is pi/4; draw with margin and top up if unlucky.
     est = int(need / 0.78) + 64
     while need > 0:
-        d = drand48_sequence(draws_used + 2 * est)[draws_used:]
+        d = drand48_sequence(draws_used + 2 * est, seed)[draws_used:]
         x = (2 * d[0::2] - 1).astype(np.float32)
         y = (2 * d[1::2] - 1).astype(np.float32)
         r2 = x * x + y * y
@@ -96,7 +111,7 @@ class DriftComponent:
 class ChansimConfig:
     scale: float = 1.0
     awgn: float = 0.0
-    deterministic: bool = True
+    deterministic: bool = False   # reference default: getpid() seed
     seed: int | None = None      # non-deterministic runs pick a seed
     drifts: tuple = (DriftComponent(), DriftComponent(), DriftComponent())
 

@@ -385,6 +385,22 @@ class DvbsReceiver:
             syms = sym[0][valid]
             costs = (self._rp.unpack_cost(cword)[0][:len(valid)][valid]
                      if cword is not None else None)
+            # Measurement snapshots from the state planes at the scan
+            # path's meas_decimation cadence (the kernel's packed output
+            # carries no freq/ss/mer; without this the --fd-info stream
+            # and the resampler's freq_tap would starve on TPU).
+            self._meas_backlog = getattr(self, "_meas_backlog", 0) + n
+            k = self._meas_backlog // self.params.meas_decimation
+            if k:
+                self._meas_backlog %= self.params.meas_decimation
+                p = np.asarray(self._planes).reshape(
+                    self._rp.NSTATE, -1)[:, 0]
+                mer = (10 * np.log10(p[5] / p[6])
+                       if p[6] > 0 else 0.0)
+                for _ in range(int(k)):
+                    self.meas["freq"].append(float(p[2] / 65536.0))
+                    self.meas["ss"].append(float(np.sqrt(p[4])))
+                    self.meas["mer"].append(float(mer))
         else:
             self.state, out = receiver.run_chunks(self.params, self.tables,
                                                   self.state, xd)
@@ -436,8 +452,11 @@ class DvbsReceiver:
         cfg = self.cfg
         if cfg.awgn:
             from . import chansim
-            noise, used = chansim.wgn_c(len(iq), cfg.awgn)
-            # (continue the drand48 stream across chunks)
+            # Continue the drand48 stream across chunks (jump to the
+            # state after the draws consumed so far, dsp.h:172-183).
+            noise, used = chansim.wgn_c(
+                len(iq), cfg.awgn,
+                seed=chansim.drand48_jump(self.noise_draws))
             self.noise_draws += used
             iq = iq + noise
         z = iq[:, 0] + 1j * iq[:, 1] if (

@@ -392,14 +392,24 @@ class MultiDvbsReceiver:
         ra = self.params.readahead
         if self.mf_taps is not None:
             ra += len(self.mf_taps) - 1
+        preproc = (self.notch is not None or self.cnr_est is not None
+                   or self.spectrum is not None)
         if isinstance(iq, jnp.ndarray) and not isinstance(iq, np.ndarray) \
+                and not preproc \
                 and self.sample_backlog.shape[1] == 0 \
                 and (iq.shape[1] - ra) % receiver.CHUNK == 0:
+            # Device-resident fast path (only when no host preprocessing
+            # stage is configured — it must not silently skip them).
             x = iq
             n = iq.shape[1] - ra
         else:
             iq = np.asarray(iq, np.float32) * np.float32(
                 self.cfg.float_scale)
+            # Chain order mirrors the single-channel pipeline
+            # (leandvb.cc:277-399): notch BEFORE the CNR/spectrum
+            # estimators, so a notched birdie does not inflate CNR.
+            if self.notch is not None:
+                iq = self.notch.process(iq)
             if self.cnr_est or self.spectrum:
                 freqw = (self._planes[2].reshape(-1)[:self.nchan]
                          if self.use_pallas else self.state["freqw"])
@@ -408,8 +418,6 @@ class MultiDvbsReceiver:
                     self.cnr.extend(self.cnr_est.process(iq, taps))
                 if self.spectrum:
                     self.spectrum_lines.extend(self.spectrum.process(iq))
-            if self.notch is not None:
-                iq = self.notch.process(iq)
             self.sample_backlog = np.concatenate(
                 [self.sample_backlog, iq], axis=1)
             K = (self.sample_backlog.shape[1] - ra) // receiver.CHUNK
