@@ -74,6 +74,13 @@ def get_lib():
         ctypes.c_void_p,
         ctypes.POINTER(ctypes.c_longlong), ctypes.POINTER(ctypes.c_longlong),
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_longlong)]
+    lib.bb_save.restype = ctypes.c_long
+    lib.bb_save.argtypes = [ctypes.c_void_p,
+                            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long]
+    lib.bb_restore.restype = ctypes.c_int
+    lib.bb_restore.argtypes = [ctypes.c_void_p,
+                               ctypes.POINTER(ctypes.c_uint8),
+                               ctypes.c_long]
     _lib = lib
     return _lib
 
@@ -169,3 +176,21 @@ class NativeByteBackend:
     @property
     def locktimes(self):
         return self._stats()[3]
+
+    # -- checkpoint/resume ------------------------------------------------
+
+    def save_blob(self) -> bytes:
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        n = self._lib.bb_save(self._ctx, ctypes.cast(None, u8p), 0)
+        buf = np.empty(n, np.uint8)
+        m = self._lib.bb_save(self._ctx, buf.ctypes.data_as(u8p), n)
+        assert m == n
+        return buf.tobytes()
+
+    def restore_blob(self, blob: bytes):
+        buf = np.frombuffer(blob, np.uint8)
+        r = self._lib.bb_restore(
+            self._ctx, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            len(buf))
+        if r != 0:
+            raise ValueError(f"native backend restore failed ({r})")

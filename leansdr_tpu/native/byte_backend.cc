@@ -478,4 +478,80 @@ void bb_stats(void* p, long long* vbit, long long* verr, uint8_t* locks,
   }
 }
 
+// ---- checkpoint/resume: flat little-endian blob of all mutable state ----
+
+namespace {
+template <typename T>
+void put(std::vector<uint8_t>& v, T x) {
+  const uint8_t* b = (const uint8_t*)&x;
+  v.insert(v.end(), b, b + sizeof(T));
+}
+template <typename T>
+T get(const uint8_t*& p) {
+  T x;
+  std::memcpy(&x, p, sizeof(T));
+  p += sizeof(T);
+  return x;
+}
+}  // namespace
+
+long bb_save(void* ctx, uint8_t* out, long cap) {
+  Ctx* cx = (Ctx*)ctx;
+  std::vector<uint8_t> v;
+  put<int64_t>(v, 0x4242534156315ALL);  // magic 'BBSAV1Z'
+  put<int32_t>(v, cx->nchan);
+  put<int32_t>(v, cx->fastlock ? 1 : 0);
+  for (auto& c : cx->ch) {
+    for (int32_t f : {c.polarity, c.bitphase, (int32_t)c.sync,
+                      c.next_sync_count, c.resync_phase, c.phase8,
+                      c.lock_timeleft, c.derand_pos})
+      put<int32_t>(v, f);
+    put<int64_t>(v, c.locktime);
+    put<int64_t>(v, c.vbitcount);
+    put<int64_t>(v, c.verrcount);
+    put<int64_t>(v, (int64_t)c.backlog.size());
+    v.insert(v.end(), c.backlog.data(),
+             c.backlog.data() + c.backlog.size());
+    put<int64_t>(v, (int64_t)c.mpeg_backlog.size());
+    v.insert(v.end(), c.mpeg_backlog.data(),
+             c.mpeg_backlog.data() + c.mpeg_backlog.size());
+  }
+  if (out && cap >= (long)v.size()) std::memcpy(out, v.data(), v.size());
+  return (long)v.size();  // size query when out==NULL or cap too small
+}
+
+int bb_restore(void* ctx, const uint8_t* in, long n) {
+  Ctx* cx = (Ctx*)ctx;
+  const uint8_t* p = in;
+  const uint8_t* end = in + n;
+  if (n < 16 || get<int64_t>(p) != 0x4242534156315ALL) return -1;
+  if (get<int32_t>(p) != cx->nchan) return -2;
+  cx->fastlock = get<int32_t>(p) != 0;
+  for (auto& c : cx->ch) {
+    if (p + 8 * 4 + 3 * 8 > end) return -3;
+    c.polarity = get<int32_t>(p);
+    c.bitphase = get<int32_t>(p);
+    c.sync = get<int32_t>(p) != 0;
+    c.next_sync_count = get<int32_t>(p);
+    c.resync_phase = get<int32_t>(p);
+    c.phase8 = get<int32_t>(p);
+    c.lock_timeleft = get<int32_t>(p);
+    c.derand_pos = get<int32_t>(p);
+    c.locktime = get<int64_t>(p);
+    c.vbitcount = get<int64_t>(p);
+    c.verrcount = get<int64_t>(p);
+    int64_t nb = get<int64_t>(p);
+    if (p + nb > end) return -4;
+    c.backlog.buf.assign(p, p + nb);
+    c.backlog.head = 0;
+    p += nb;
+    int64_t nm = get<int64_t>(p);
+    if (p + nm > end) return -5;
+    c.mpeg_backlog.buf.assign(p, p + nm);
+    c.mpeg_backlog.head = 0;
+    p += nm;
+  }
+  return p == end ? 0 : -6;
+}
+
 }  // extern "C"

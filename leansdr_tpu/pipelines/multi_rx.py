@@ -247,6 +247,36 @@ class _ByteBackend:
     def locks(self):
         return [m.synchronized for m in self.mpeg]
 
+    # -- checkpoint/resume (same contract as NativeByteBackend) ----------
+
+    _MPEG_FIELDS = ("polarity", "bitphase", "synchronized",
+                    "next_sync_count", "resync_phase", "phase8",
+                    "lock_timeleft", "locktime", "locktime_count")
+
+    def save_blob(self) -> bytes:
+        import pickle
+        return pickle.dumps({
+            "mpeg": [{k: getattr(m, k) for k in self._MPEG_FIELDS}
+                     for m in self.mpeg],
+            "byte_backlog": self.byte_backlog,
+            "mpegbyte_backlog": self.mpegbyte_backlog,
+            "derand_pos": self.derand_pos,
+            "vbitcount": self.vbitcount,
+            "verrcount": self.verrcount,
+        })
+
+    def restore_blob(self, blob: bytes):
+        import pickle
+        d = pickle.loads(blob)
+        for m, st in zip(self.mpeg, d["mpeg"]):
+            for k, v in st.items():
+                setattr(m, k, v)
+        self.byte_backlog = d["byte_backlog"]
+        self.mpegbyte_backlog = d["mpegbyte_backlog"]
+        self.derand_pos = d["derand_pos"]
+        self.vbitcount = d["vbitcount"]
+        self.verrcount = d["verrcount"]
+
 
 def make_byte_backend(nchan: int, fastlock: bool, on_next_sync=None,
                       native=None):
@@ -547,6 +577,54 @@ class MultiDvbsReceiver:
         done = [j.result() for j in self._jobs]
         self._jobs.clear()
         return done
+
+    # -- checkpoint/resume --------------------------------------------------
+
+    _DECONV_HOST_FIELDS = ("_est_fill", "track", "_want_track", "_stable",
+                           "_last_cur", "_entry_d", "track_after")
+
+    def save_state(self) -> bytes:
+        """Serialize every mutable piece of the fleet receiver: demod
+        state, the symbol ring + trellis/deconv state, the byte-domain
+        backend (incl. the native C++ FSMs) and stream backlogs."""
+        import pickle
+        dev = (np.asarray(self._planes) if self.use_pallas
+               else {k: np.asarray(v) for k, v in self.state.items()})
+        dstate = {k: np.asarray(v) for k, v in self.deconv.state.items()}
+        dhost = {k: getattr(self.deconv, k)
+                 for k in self._DECONV_HOST_FIELDS
+                 if hasattr(self.deconv, k)}
+        return pickle.dumps({
+            "use_pallas": self.use_pallas,
+            "dev": dev,
+            "deconv_state": dstate,
+            "deconv_host": dhost,
+            "backend": self.backend.save_blob(),
+            "backend_native": type(self.backend).__name__,
+            "sample_backlog": self.sample_backlog,
+        })
+
+    def load_state(self, blob: bytes) -> None:
+        import pickle
+        d = pickle.loads(blob)
+        if d["use_pallas"] != self.use_pallas:
+            raise ValueError("checkpoint demod path mismatch")
+        if self.use_pallas:
+            self._planes = jnp.asarray(d["dev"])
+        else:
+            self.state = {k: jnp.asarray(v) for k, v in d["dev"].items()}
+        self.deconv.state = {k: jnp.asarray(v)
+                             for k, v in d["deconv_state"].items()}
+        for k, v in d["deconv_host"].items():
+            setattr(self.deconv, k, v)
+        if d["backend_native"] != type(self.backend).__name__:
+            raise ValueError(
+                f"checkpoint byte-backend mismatch: saved with "
+                f"{d['backend_native']}, restoring into "
+                f"{type(self.backend).__name__} (set LEANSDR_NO_NATIVE "
+                f"or native= to match)")
+        self.backend.restore_blob(d["backend"])
+        self.sample_backlog = d["sample_backlog"]
 
     def metrics(self):
         """Per-channel measurement snapshot (one small host fetch —

@@ -37,3 +37,35 @@ def test_fleet_soak_bounded_and_flowing():
     # Steady state: the second half must keep producing every chunk.
     half = per_chunk[len(per_chunk) // 2:]
     assert all(n > 0 for n in half), per_chunk
+
+
+def test_fleet_checkpoint_exact_resume():
+    """save_state/load_state mid-stream must resume byte-exactly: the
+    continued receiver and a restored clone produce identical TS
+    (including the native C++ backend's FSMs and backlogs)."""
+    nchan = 2
+    pkts = tsgen.generate(260)
+    iq = dvbs_tx.modulate(pkts, dvbs_tx.TxConfig(rate="1/2", interp=2))
+    iq = (iq * 75.0).astype(np.float32)
+    x = np.broadcast_to(iq[None], (nchan,) + iq.shape)
+
+    CH = 16384
+    cfg = RxConfig(Fs=4e6, Fm=2e6, rate="1/2", fastlock=True,
+                   float_scale=1.0)
+    rx = MultiDvbsReceiver(cfg, nchan, chunk_samples=CH)
+    nchunks = (x.shape[1] - 1) // CH
+    half = nchunks // 2
+    for k in range(half):
+        rx.process(x[:, k * CH:(k + 1) * CH])
+    blob = rx.save_state()
+
+    rx2 = MultiDvbsReceiver(cfg, nchan, chunk_samples=CH)
+    rx2.load_state(blob)
+    for k in range(half, nchunks):
+        a = rx.process(x[:, k * CH:(k + 1) * CH])
+        b = rx2.process(x[:, k * CH:(k + 1) * CH])
+        for c in range(nchan):
+            np.testing.assert_array_equal(a[c], b[c])
+    assert sum(len(o) for o in a) >= 0        # stream still flowing
+    assert rx.locks == rx2.locks
+    assert (rx.vbitcount == rx2.vbitcount).all()
