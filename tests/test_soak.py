@@ -69,3 +69,35 @@ def test_fleet_checkpoint_exact_resume():
     assert sum(len(o) for o in a) >= 0        # stream still flowing
     assert rx.locks == rx2.locks
     assert (rx.vbitcount == rx2.vbitcount).all()
+
+
+def test_fleet_checkpoint_exact_resume_viterbi():
+    """Exact resume through the device Viterbi bank (trellis metric/path
+    planes + ACQUIRE/TRACK bookkeeping ride the checkpoint)."""
+    nchan = 2
+    pkts = tsgen.generate(200)
+    iq = dvbs_tx.modulate(pkts, dvbs_tx.TxConfig(rate="1/2", interp=2))
+    iq = (iq * 75.0).astype(np.float32)
+    x = np.broadcast_to(iq[None], (nchan,) + iq.shape)
+
+    CH = 1 << 15
+    cfg = RxConfig(Fs=4e6, Fm=2e6, rate="1/2", fastlock=True,
+                   float_scale=1.0, viterbi=True)
+    rx = MultiDvbsReceiver(cfg, nchan, chunk_samples=CH)
+    nchunks = (x.shape[1] - 1) // CH
+    half = nchunks // 2
+    tot = 0
+    for k in range(half):
+        tot += sum(len(o) for o in rx.process(x[:, k * CH:(k + 1) * CH]))
+    blob = rx.save_state()
+
+    rx2 = MultiDvbsReceiver(cfg, nchan, chunk_samples=CH)
+    rx2.load_state(blob)
+    assert rx2.deconv.track == rx.deconv.track
+    for k in range(half, nchunks):
+        a = rx.process(x[:, k * CH:(k + 1) * CH])
+        b = rx2.process(x[:, k * CH:(k + 1) * CH])
+        tot += sum(len(o) for o in a)
+        for c in range(nchan):
+            np.testing.assert_array_equal(a[c], b[c])
+    assert tot > 100
