@@ -174,6 +174,9 @@ def main(argv=None):
                     b"Access-Control-Allow-Origin: *\r\n\r\n"
                     b"ECHO: " + req)
             f.flush()
+            # makefile() keeps the socket alive past conn.close();
+            # close both so read-to-EOF clients see the response end.
+            f.close()
             conn.close()
 
 

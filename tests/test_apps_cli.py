@@ -87,3 +87,47 @@ def test_leansdrserv_info_httpd():
     finally:
         p.terminate()
         p.wait(timeout=10)
+
+
+def test_leansdrserv_data_and_control_httpd():
+    d_port, c_port = _free_port(), _free_port()
+    child = ("import os, sys, time\n"
+             "ctl = os.fdopen(4, 'rb', buffering=0)\n"
+             "req = ctl.readline()\n"
+             "for _ in range(100):\n"
+             "    sys.stdout.write('CTL=' + req.decode().split()[1])\n"
+             "    sys.stdout.flush()\n"
+             "    time.sleep(0.1)\n")
+    p = subprocess.Popen(
+        [sys.executable, "-m", "leansdr_tpu.apps.leansdrserv",
+         "--data1-httpd", str(d_port), "--control4-httpd", str(c_port),
+         sys.executable, "-u", "-c", child],
+        stdout=subprocess.DEVNULL, stderr=subprocess.PIPE, env=ENV,
+        cwd=str(REPO))
+    sock = None
+    try:
+        for _ in range(40):                     # wait for the listeners
+            time.sleep(0.25)
+            try:
+                sock = socket.create_connection(
+                    ("127.0.0.1", d_port), timeout=10)
+                sock.sendall(b"GET / HTTP/1.0\r\n\r\n")
+                break
+            except OSError:
+                sock = None
+        assert sock is not None, "data listener never came up"
+        body = urllib.request.urlopen(
+            f"http://127.0.0.1:{c_port}/tune?f=123", timeout=5).read()
+        assert b"ECHO" in body
+        data = b""
+        while b"CTL=" not in data:
+            chunk = sock.recv(4096)
+            assert chunk, (data, p.stderr.peek()[:300]
+                           if hasattr(p.stderr, "peek") else b"")
+            data += chunk
+        assert b"/tune?f=123" in data
+    finally:
+        if sock is not None:
+            sock.close()
+        p.terminate()
+        p.wait(timeout=10)
