@@ -393,6 +393,21 @@ void mpeg_process(Ctx* cx, Chan* c, int* nsync_fired) {
 
 }  // namespace
 
+namespace {
+template <typename T>
+void put(std::vector<uint8_t>& v, T x) {
+  const uint8_t* b = (const uint8_t*)&x;
+  v.insert(v.end(), b, b + sizeof(T));
+}
+template <typename T>
+T get(const uint8_t*& p) {
+  T x;
+  std::memcpy(&x, p, sizeof(T));
+  p += sizeof(T);
+  return x;
+}
+}  // namespace
+
 extern "C" {
 
 void* bb_create(int nchan, int fastlock) {
@@ -479,21 +494,6 @@ void bb_stats(void* p, long long* vbit, long long* verr, uint8_t* locks,
 }
 
 // ---- checkpoint/resume: flat little-endian blob of all mutable state ----
-
-namespace {
-template <typename T>
-void put(std::vector<uint8_t>& v, T x) {
-  const uint8_t* b = (const uint8_t*)&x;
-  v.insert(v.end(), b, b + sizeof(T));
-}
-template <typename T>
-T get(const uint8_t*& p) {
-  T x;
-  std::memcpy(&x, p, sizeof(T));
-  p += sizeof(T);
-  return x;
-}
-}  // namespace
 
 long bb_save(void* ctx, uint8_t* out, long cap) {
   Ctx* cx = (Ctx*)ctx;

@@ -16,7 +16,14 @@ from leansdr_tpu.pipelines.multi_rx import _ByteBackend
 
 native = pytest.importorskip("leansdr_tpu.native")
 if native.get_lib() is None:
-    pytest.skip("native backend unavailable (no g++?)",
+    import shutil
+    if shutil.which("g++"):
+        # A compiler exists, so an unavailable backend means the build
+        # BROKE — surface it instead of silently skipping.
+        raise AssertionError(
+            "native byte backend failed to build with g++ present:\n"
+            + str(native.build_lib(verbose=True)))
+    pytest.skip("native backend unavailable (no compiler)",
                 allow_module_level=True)
 
 
