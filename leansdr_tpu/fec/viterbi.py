@@ -367,7 +367,8 @@ def _viterbi_chunk_device(rate, cost_st, path_hi, path_lo, cs, bcost):
 
     (cost_st, path_hi, path_lo), (us, q) = jax.lax.scan(
         step, (cost_st, path_hi, path_lo),
-        (cs.T.astype(jnp.int32), bcost.T.astype(jnp.int32)))
+        (cs.T.astype(jnp.int32), bcost.T.astype(jnp.int32)),
+        unroll=4 if cs.shape[1] % 4 == 0 else 1)
     return cost_st, path_hi, path_lo, us.T, q.T
 
 
