@@ -155,6 +155,17 @@ def main():
     import sys
     if os.environ.get("_BENCH_CHILD") != "1":
         try:
+            # Fast health gate: a dead tunnel should fail in ~2 minutes,
+            # not after the full measurement timeout.
+            h = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp, numpy as np;"
+                 "print(float(np.asarray(jax.jit(lambda a: (a*2).sum())"
+                 "(jnp.arange(64.)))))"],
+                timeout=int(os.environ.get("BENCH_HEALTH_TIMEOUT", "150")),
+                capture_output=True, text=True)
+            if h.returncode != 0:
+                raise subprocess.TimeoutExpired("health", 0)
             r = subprocess.run(
                 [sys.executable, __file__],
                 env={**os.environ, "_BENCH_CHILD": "1"},
