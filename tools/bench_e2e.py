@@ -40,6 +40,13 @@ def main():
     CH = 1 << int(args[1]) if len(args) > 1 else (1 << 18)
     nchunks = int(args[2]) if len(args) > 2 else 20
     viterbi = "--viterbi" in sys.argv
+    rate = "1/2"
+    for a in sys.argv[1:]:
+        if a.startswith("--cr="):
+            rate = a.split("=", 1)[1]
+    if "--no-native" in sys.argv:
+        import os
+        os.environ["LEANSDR_NO_NATIVE"] = "1"
     # Stimulus synthesized ON DEVICE (pipelines/dvbs_tx_device.py): the
     # bench input never crosses the host link — on real hardware ingest
     # is double-buffered host->device DMA; the axon tunnel here is slow.
@@ -53,21 +60,21 @@ def main():
     pkts = tsgen.generate(npkt)
     try:
         from leansdr_tpu.pipelines import dvbs_tx_device as txd
-        mod = txd.DeviceModulator(rate="1/2", interp=2, amp=75.0)
+        mod = txd.DeviceModulator(rate=rate, interp=2, amp=75.0)
         y = txd._tx_jit(jnp.asarray(pkts), mod.pat, mod.enc_m,
                         mod.ilv_idx, mod.sym_pts, mod.rrc,
                         mod.rate, mod.bps, mod.interp, mod.ncoeffs)
         y.block_until_ready()
     except Exception:
         base = dvbs_tx.modulate(pkts,
-                                dvbs_tx.TxConfig(rate="1/2", interp=2))
+                                dvbs_tx.TxConfig(rate=rate, interp=2))
         y = jnp.asarray(base * 75.0)
     n = (y.shape[0] - 1) // CH * CH
     bcast = jax.jit(lambda v: jnp.broadcast_to(v[None], (nchan,) + v.shape)
                     + 0.0)
 
     rx = MultiDvbsReceiver(
-        RxConfig(Fs=4e6, Fm=2e6, rate="1/2", fastlock=True,
+        RxConfig(Fs=4e6, Fm=2e6, rate=rate, fastlock=True,
                  float_scale=75.0, exact_lut=False, viterbi=viterbi),
         nchan, chunk_samples=CH)
     rx.process(bcast(y[:CH + 1]))    # warm up compile + prime the ring
@@ -114,6 +121,7 @@ def main():
         "nchan": nchan,
         "chunk": CH,
         "viterbi": viterbi,
+        "rate": rate,
         "value": round(msps, 1),
         "unit": "Msamples/s aggregate (full chain to TS)",
         "realtime_factor_vs_64x2.4Msps": round(msps / (64 * 2.4), 2),
