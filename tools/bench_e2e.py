@@ -56,7 +56,9 @@ def main():
     # The stimulus stays SINGLE-channel on device (a 64-channel copy of
     # a multi-minute window would exceed HBM); each chunk is broadcast
     # to the fleet on device as part of the timed ingest.
-    npkt = ((nchunks + 1) * CH) // 3264 + 12
+    num, den = (int(v) for v in rate.split("/"))
+    spp = 1632 * den // num          # samples per RS packet (QPSK, 2 sps)
+    npkt = ((nchunks + 2) * CH) // spp + 16   # +interleaver holdback
     pkts = tsgen.generate(npkt)
     try:
         from leansdr_tpu.pipelines import dvbs_tx_device as txd
