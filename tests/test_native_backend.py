@@ -152,3 +152,30 @@ def test_rs_packet_parity_random():
     fixable = np.array([(pkts[i] != enc[i]).sum() <= 8 for i in range(64)])
     assert (~failed_py[fixable]).all()
     assert (out_py[fixable] == msgs[fixable]).all()
+
+
+@pytest.mark.parametrize("seed", [21, 22])
+def test_parity_random_chunk_boundaries(seed):
+    """Chunk boundaries are where FSM carry-over bugs hide: the same
+    impaired streams split at random points must decode identically."""
+    rng = np.random.default_rng(seed)
+    streams = [
+        make_stream(250, seed * 10 + 1, nerr=30, prefix=511),
+        make_stream(250, seed * 10 + 2, invert=True, bitshift=5,
+                    burst=(20000, 3000)),
+    ]
+    C = len(streams)
+    py = _ByteBackend(C, True)
+    nat = native.NativeByteBackend(C, True)
+    maxlen = max(len(s) for s in streams)
+    o = 0
+    while o < maxlen:
+        n = int(rng.integers(1, 6000))
+        part = [s[o:o + n] for s in streams]
+        a = py.feed(part)
+        b = nat.feed(part)
+        for c in range(C):
+            assert (a[c] == b[c]).all(), (c, o, n)
+        o += n
+    assert py.locks == nat.locks
+    assert (py.verrcount == nat.verrcount).all()
