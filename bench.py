@@ -44,16 +44,8 @@ def _chain_bench():
 
     # Real DVB-S stimulus so the Viterbi replicas/election do real work.
     pkts = tsgen.generate(5 * CH // 3264 + 12)
-    try:
-        from leansdr_tpu.pipelines import dvbs_tx_device as txd
-        mod = txd.DeviceModulator(rate="1/2", interp=2, amp=75.0)
-        y = txd._tx_jit(jnp.asarray(pkts), mod.pat, mod.enc_m,
-                        mod.ilv_idx, mod.sym_pts, mod.rrc,
-                        mod.rate, mod.bps, mod.interp, mod.ncoeffs)
-        y.block_until_ready()
-    except Exception:
-        y = jnp.asarray(dvbs_tx.modulate(
-            pkts, dvbs_tx.TxConfig(rate="1/2", interp=2)) * 75.0)
+    from leansdr_tpu.pipelines.dvbs_tx_device import device_stimulus
+    y = device_stimulus(pkts)
 
     rx = MultiDvbsReceiver(
         RxConfig(Fs=4e6, Fm=2e6, rate="1/2", fastlock=True,
@@ -165,7 +157,13 @@ def main():
                 timeout=int(os.environ.get("BENCH_HEALTH_TIMEOUT", "150")),
                 capture_output=True, text=True)
             if h.returncode != 0:
-                raise subprocess.TimeoutExpired("health", 0)
+                print(json.dumps({
+                    "metric": "rx_chain_throughput_per_chip",
+                    "value": 0.0, "unit": "Msamples/s/chip",
+                    "vs_baseline": 0.0,
+                    "error": f"health check exit {h.returncode}: "
+                             f"{h.stderr[-300:]}"}))
+                return
             r = subprocess.run(
                 [sys.executable, __file__],
                 env={**os.environ, "_BENCH_CHILD": "1"},

@@ -148,3 +148,31 @@ class DeviceModulator:
                     self.ilv_idx, self.sym_pts, self.rrc,
                     self.rate, self.bps, self.interp, self.ncoeffs)
         return np.asarray(y)
+
+
+def device_stimulus(pkts, rate: str = "1/2", interp: int = 2,
+                    amp: float = 75.0):
+    """TS packets -> DEVICE-resident float32 IQ [m, 2] (bench helper).
+
+    Modulates on device without the host round-trip of
+    DeviceModulator.modulate; falls back to host modulation only when
+    the device TX chain is genuinely unavailable (and says so), so a
+    silent fallback cannot skew benchmark numbers.
+    """
+    import sys
+    import jax.numpy as jnp
+    try:
+        mod = DeviceModulator(rate=rate, interp=interp, amp=amp)
+        y = _tx_jit(jnp.asarray(pkts), mod.pat, mod.enc_m, mod.ilv_idx,
+                    mod.sym_pts, mod.rrc, mod.rate, mod.bps,
+                    mod.interp, mod.ncoeffs)
+        y.block_until_ready()
+        return y
+    except Exception as e:
+        print(f"device_stimulus: device TX unavailable ({e!r}); "
+              f"falling back to HOST modulation (benchmark ingest will "
+              f"include a host link transfer)", file=sys.stderr)
+        from . import dvbs_tx
+        return jnp.asarray(dvbs_tx.modulate(
+            np.asarray(pkts), dvbs_tx.TxConfig(rate=rate, interp=interp))
+            * np.float32(amp))

@@ -68,7 +68,7 @@ def main():
     # 1 byte of deconv output per 16 input samples)
     if tn:
         res["native_msps_equivalent"] = round(
-            nchan * CHUNK * 16 * nchunks / tn / 1e6, 1)
+            nchan * maxlen * 16 / tn / 1e6, 1)
     print(json.dumps(res))
 
 

@@ -60,17 +60,8 @@ def main():
     spp = 1632 * den // num          # samples per RS packet (QPSK, 2 sps)
     npkt = ((nchunks + 2) * CH) // spp + 16   # +interleaver holdback
     pkts = tsgen.generate(npkt)
-    try:
-        from leansdr_tpu.pipelines import dvbs_tx_device as txd
-        mod = txd.DeviceModulator(rate=rate, interp=2, amp=75.0)
-        y = txd._tx_jit(jnp.asarray(pkts), mod.pat, mod.enc_m,
-                        mod.ilv_idx, mod.sym_pts, mod.rrc,
-                        mod.rate, mod.bps, mod.interp, mod.ncoeffs)
-        y.block_until_ready()
-    except Exception:
-        base = dvbs_tx.modulate(pkts,
-                                dvbs_tx.TxConfig(rate=rate, interp=2))
-        y = jnp.asarray(base * 75.0)
+    from leansdr_tpu.pipelines.dvbs_tx_device import device_stimulus
+    y = device_stimulus(pkts, rate=rate)
     n = (y.shape[0] - 1) // CH * CH
     bcast = jax.jit(lambda v: jnp.broadcast_to(v[None], (nchan,) + v.shape)
                     + 0.0)
@@ -114,8 +105,8 @@ def main():
     # Steady state: median completion-to-completion gap over the second
     # half (robust to one-off axon tunnel stalls and warm-up compiles).
     gaps = sorted(np.diff(done_ts[len(done_ts) // 2:]))
-    med = float(gaps[len(gaps) // 2])
-    steady = nchan * CH / med / 1e6
+    med = float(gaps[len(gaps) // 2]) if gaps else float("nan")
+    steady = nchan * CH / med / 1e6 if gaps else 0.0
     print("completion gaps (s): " +
           " ".join(f"{g:.3f}" for g in np.diff(done_ts)), file=sys.stderr)
     print(json.dumps({

@@ -28,20 +28,33 @@ MXU_PEAK_F32 = 49e12        # FLOP/s (f32 on the bf16 MXU, conservative)
 
 def marginal_time(fn, arg, reps=4):
     """Chained timing: each rep depends on the previous via a scalar
-    feedback term, so dispatch pipelining cannot hide execution."""
+    feedback term, so dispatch pipelining cannot hide execution.
+
+    For these BANDWIDTH-bound kernels the right marginal is per-rep
+    THROUGHPUT: reps are independent dispatches (the device may pipeline
+    them) and the single final fetch sums every rep's tiny digest, so
+    the measured window still covers all executions. The previous
+    `arg + s` / `max(y)` serialization added ~3 extra full-array HBM
+    passes per rep that did not cancel in the marginal and understated
+    the kernel's bandwidth ~2.5x.
+    """
+    import jax
     import jax.numpy as jnp
+
+    @jax.jit
+    def step(a):
+        y = fn(a)
+        return jnp.sum(y.reshape(-1)[:8])     # O(1)-traffic digest
 
     def run(n):
         best = 1e9
         for _ in range(3):
             t0 = time.perf_counter()
-            s = jnp.float32(0)
-            for _ in range(n):
-                y = fn(arg + s)
-                s = jnp.max(y) * jnp.float32(1e-30)
-            float(np.asarray(s))
+            ds = [step(arg) for _ in range(n)]
+            float(np.asarray(sum(ds)))        # awaits every rep
             best = min(best, time.perf_counter() - t0)
         return best
+    run(1)
     return max((run(reps) - run(1)) / (reps - 1), 1e-9)
 
 

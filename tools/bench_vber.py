@@ -120,6 +120,8 @@ def _run_ref_point(iq, samprate, symbrate, float_scale, opts, minpackets):
             state[tag.lower()] = float(arg)
         elif tag == "LOCKTIME" and int(arg) >= minpackets:
             success = True
+    if state["vbermin"] > 1e8:      # locked but no VBER lines parsed
+        success = False
     return state if success else None
 
 
@@ -155,7 +157,8 @@ def main():
                    f"{r['vbermin']:.2e} {r['vbermax']:.2e}")
             print(row)
             rows.append(row)
-    Path(args.out).write_text("\n".join(rows) + "\n")
+    with open(args.out, "a") as f:          # append: accumulate runs
+        f.write("\n".join(rows) + "\n")
 
 
 if __name__ == "__main__":

@@ -144,13 +144,17 @@ def main():
     mp.set_start_method("spawn")
     q = mp.Queue()
     port = _free_port()
-    ps = [mp.Process(target=worker, args=(i, port, q))
+    ps = [mp.Process(target=worker, args=(i, port, q), daemon=True)
           for i in range(NPROC)]
     for p in ps:
         p.start()
-    results = [q.get(timeout=300) for _ in range(NPROC)]
-    for p in ps:
-        p.join()
+    try:
+        results = [q.get(timeout=300) for _ in range(NPROC)]
+    finally:
+        for p in ps:          # a wedged peer must not hang the demo
+            p.join(timeout=10)
+            if p.is_alive():
+                p.terminate()
     for r in sorted(results, key=lambda r: r["process"]):
         print(json.dumps(r))
     assert all(r["processes"] == NPROC for r in results)
