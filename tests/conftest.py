@@ -39,7 +39,8 @@ GOLDEN = REPO / ".golden"
 def _build_reference() -> Path | None:
     """Build the reference C++ apps (cached in .ref_build)."""
     apps = REF_BUILD / "src" / "apps"
-    if (apps / "leandvb").exists():
+    if all((apps / b).exists() for b in
+           ("leandvb", "leandvbtx", "leantsgen", "leanchansim")):
         return apps
     if not REF_SRC.exists():
         return None

@@ -71,8 +71,6 @@ def test_device_deconv_inverts_encoder(rate):
     sym_tc = np.stack(chans, axis=1)                   # [n, C]
 
     # Interleave some invalid samples to exercise compaction.
-    valid = np.ones((n, C), bool)
-    sym_in = sym_tc.copy()
     expanded = np.zeros((n + n // 3, C), np.uint8)
     vmask = np.ones((n + n // 3, C), bool)
     vmask[::4] = False                                 # every 4th invalid

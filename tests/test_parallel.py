@@ -176,6 +176,9 @@ def test_multi_channel_oversized_chunk_split_append():
         assert len(outs[1 << 17][c]) >= 60
         np.testing.assert_array_equal(outs[1 << 15][c],
                                       outs[1 << 17][c])
+        hits = sum(1 for o in outs[1 << 17][c]
+                   if (payloads[c] == o).all(axis=1).any())
+        assert hits >= 0.95 * len(outs[1 << 17][c]), f"channel {c}"
 
 
 def test_multi_channel_pipelined_submit_matches_process():
@@ -202,6 +205,9 @@ def test_multi_channel_pipelined_submit_matches_process():
     for c in range(nchan):
         assert len(outs["pipe"][c]) >= 60
         np.testing.assert_array_equal(outs["sync"][c], outs["pipe"][c])
+        hits = sum(1 for o in outs["pipe"][c]
+                   if (payloads[c] == o).all(axis=1).any())
+        assert hits >= 0.95 * len(outs["pipe"][c]), f"channel {c}"
 
 
 @pytest.mark.parametrize("rate", ["3/4", "7/8"])

@@ -85,9 +85,8 @@ def test_multi_viterbi_matches_host_sync():
         # compare the steady-state tail.
         tail = min(len(ref), n) // 2
         assert tail > 100
-        assert np.array_equal(by[c, n - tail:n],
-                              ref[len(ref) - tail:len(ref)] if len(ref) >= n
-                              else ref[-tail:]), f"channel {c}"
+        assert np.array_equal(by[c, n - tail:n], ref[-tail:]), \
+            f"channel {c}"
 
 
 @pytest.mark.parametrize("rate", ["3/4", "2/3", "5/6"])
@@ -129,9 +128,8 @@ def test_multi_viterbi_all_rates_matches_host(rate):
         n = mv.plan.nbytes
         tail = min(len(ref), n) // 2
         assert tail > 40, (tail, len(ref), n)
-        assert np.array_equal(by[c, n - tail:n],
-                              ref[len(ref) - tail:len(ref)] if len(ref) >= n
-                              else ref[-tail:]), f"channel {c}"
+        assert np.array_equal(by[c, n - tail:n], ref[-tail:]), \
+            f"channel {c}"
 
 
 def test_track_mode_policy_transitions():
