@@ -117,10 +117,8 @@ def test_candidate_scan_elects_true_config_grid():
     crs = ["1/2", "2/3", "3/4", "5/6", "7/8"]
     rx = CandidateScanReceiver.grid(Fs=4e6, symbol_rates=srs, rates=crs)
     assert len(rx.candidates) == 20 and len(rx.group_fms) == 4
-    win = None
     for i in range(0, len(iq), 1 << 16):
-        w = rx.process(iq[i:i + (1 << 16)])
-        win = w if win is None else win
+        win = rx.process(iq[i:i + (1 << 16)])  # winner() is sticky
     true_idx = srs.index(2e6) * len(crs) + crs.index("3/4")
     assert win == true_idx, f"winner {win} != {true_idx}"
     hits = sum(1 for o in rx.outputs[win]
