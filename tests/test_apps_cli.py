@@ -130,3 +130,17 @@ def test_leansdrserv_data_and_control_httpd():
             sock.close()
         p.terminate()
         p.wait(timeout=10)
+
+
+def test_leandvb_tui_renders_info_stream():
+    info = ("STANDARD DVB-S\nCONSTELLATION QPSK\nCR 1/2\nSR 2000000\n"
+            "SS 40.0\nMER 12.5\nLOCK 1\nLOCKTIME 150\nVBER 0.000130\n")
+    r = subprocess.run(
+        [sys.executable, "-m", "leansdr_tpu.apps.leandvb_tui"],
+        input=info.encode(), capture_output=True, timeout=60, env=ENV,
+        cwd=str(REPO))
+    assert r.returncode == 0
+    out = r.stdout.decode()
+    assert "MER" in out and "12.5" in out
+    assert "LOCK" in out and "VBER" in out
+    assert "#" in out                       # MER/SS bars rendered
