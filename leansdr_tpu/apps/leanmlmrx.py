@@ -35,6 +35,45 @@ def parse_channel(cfg_channels, spec, Channel):
         cfg_channels.append(Channel(F=float(spec) * 1e6, enabled=enabled))
 
 
+class _ControlChannel:
+    """Non-blocking MUTE/UNMUTE command channel (poll_control,
+    leanmlmrx.cc:332-349). Accepts the same commands, including the
+    HTTP-style GET forms the reference tolerates."""
+
+    def __init__(self, fd: int):
+        import os
+        os.set_blocking(fd, False)
+        self.fd = fd
+        self._buf = b""
+
+    def poll(self, enabled: np.ndarray):
+        import os
+        try:
+            chunk = os.read(self.fd, 4096)
+        except BlockingIOError:
+            chunk = b""
+        except OSError:
+            return
+        self._buf += chunk
+        while b"\n" in self._buf:
+            line, self._buf = self._buf.split(b"\n", 1)
+            cmd = line.decode("ascii", "replace").strip()
+            for pat, val in (("MUTE ", False), ("UNMUTE ", True),
+                             ("GET /MUTE=", False), ("GET /UNMUTE=", True)):
+                if cmd.startswith(pat):
+                    try:
+                        arg = int(cmd[len(pat):].split()[0])
+                    except (ValueError, IndexError):
+                        break
+                    if 0 <= arg < len(enabled):
+                        enabled[arg] = val
+                    break
+            else:
+                if cmd:
+                    print(f"Ignoring unrecognized command '{cmd}'",
+                          file=sys.stderr)
+
+
 def main(argv=None):
     from ..pipelines.mlm_rx import MlmReceiver, MlmConfig, Channel
     from ..util import info as info_mod
@@ -42,6 +81,9 @@ def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
     cfg = MlmConfig()
     fd_info = -1
+    fd_control = -1
+    use_pmp = False
+    devmem = "/dev/mem"
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -74,12 +116,14 @@ def main(argv=None):
             cfg.wav = True
         elif a == "--fd-info":
             fd_info = int(val())
-        elif a in ("--info-rate", "--spectrum-size", "--spectrum-zoom",
-                   "--fd-control"):
+        elif a in ("--info-rate", "--spectrum-size", "--spectrum-zoom"):
             val()
+        elif a == "--fd-control":
+            fd_control = int(val())
         elif a == "--pmp":
-            print("PMP shared-memory input is hardware-specific; "
-                  "use pipe input", file=sys.stderr)
+            use_pmp = True
+        elif a == "--devmem":
+            devmem = val()
         else:
             parse_channel(cfg.channels, a, Channel)
         i += 1
@@ -94,19 +138,41 @@ def main(argv=None):
     out = sys.stdout.buffer
     if cfg.wav:
         write_wav_header(out, rx.Fau)
-    CH = 1 << 20
-    while True:
-        raw = sys.stdin.buffer.read(CH * 4)
-        if not raw:
-            break
-        n = len(raw) // 4 * 4
-        s16 = np.frombuffer(raw[:n], dtype=np.int16).reshape(-1, 2)
+    control = _ControlChannel(fd_control) if fd_control >= 0 else None
+
+    def _reader_pmp():
+        """thread_reader_pmp (leanmlmrx.cc:353-376): each stdin record
+        is a PMP descriptor; the samples stay in shared memory."""
+        from ..util import pmp
+        while True:
+            rec = sys.stdin.buffer.read(pmp.DESC_SIZE)
+            if len(rec) < pmp.DESC_SIZE:
+                return
+            try:
+                buf = pmp.map_buffer(pmp.parse(rec), devmem=devmem)
+            except ValueError as e:
+                print(f"PMP: Buffer overrun ({e})", file=sys.stderr)
+                continue
+            yield np.frombuffer(buf, dtype=np.int16).reshape(-1, 2)
+
+    def _reader_pipe():
+        CH = 1 << 20
+        while True:
+            raw = sys.stdin.buffer.read(CH * 4)
+            if not raw:
+                return
+            n = len(raw) // 4 * 4
+            yield np.frombuffer(raw[:n], dtype=np.int16).reshape(-1, 2)
+
+    for s16 in (_reader_pmp() if use_pmp else _reader_pipe()):
         iq = (s16[:, 0].astype(np.float32)
               + 1j * s16[:, 1].astype(np.float32)).astype(np.complex64)
         au = rx.process(iq)
         if len(au):
             out.write(au.tobytes())
             out.flush()
+        if control is not None:
+            control.poll(rx.enabled)
     return 0
 
 
