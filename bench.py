@@ -148,33 +148,50 @@ def main():
     if os.environ.get("_BENCH_CHILD") != "1":
         try:
             # Fast health gate: a dead tunnel should fail in ~2 minutes,
-            # not after the full measurement timeout.
-            h = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax, jax.numpy as jnp, numpy as np;"
-                 "print(float(np.asarray(jax.jit(lambda a: (a*2).sum())"
-                 "(jnp.arange(64.)))))"],
-                timeout=int(os.environ.get("BENCH_HEALTH_TIMEOUT", "150")),
-                capture_output=True, text=True)
-            if h.returncode != 0:
+            # not after the full measurement timeout. Retried: a slow
+            # first connect or transient host load must not turn into a
+            # 0.0 benchmark record.
+            herr = None
+            for attempt in range(3):
+                try:
+                    h = subprocess.run(
+                        [sys.executable, "-c",
+                         "import jax, jax.numpy as jnp, numpy as np;"
+                         "print(float(np.asarray(jax.jit(lambda a: "
+                         "(a*2).sum())(jnp.arange(64.)))))"],
+                        timeout=int(os.environ.get("BENCH_HEALTH_TIMEOUT",
+                                                   "180")),
+                        capture_output=True, text=True)
+                except subprocess.TimeoutExpired:
+                    herr = "health check timeout"
+                    continue
+                if h.returncode == 0:
+                    herr = None
+                    break
+                herr = (f"health check exit {h.returncode}: "
+                        f"{h.stderr[-300:]}")
+            if herr is not None:
                 print(json.dumps({
                     "metric": "rx_chain_throughput_per_chip",
                     "value": 0.0, "unit": "Msamples/s/chip",
-                    "vs_baseline": 0.0,
-                    "error": f"health check exit {h.returncode}: "
-                             f"{h.stderr[-300:]}"}))
+                    "vs_baseline": 0.0, "error": herr,
+                    "note": ("TPU tunnel failure, not a regression; "
+                             "see docs/PERF.md for last measured "
+                             "numbers")}))
                 return
-            r = subprocess.run(
-                [sys.executable, __file__],
-                env={**os.environ, "_BENCH_CHILD": "1"},
-                timeout=int(os.environ.get("BENCH_TIMEOUT", "3000")),
-                capture_output=True, text=True)
-            out = [l for l in r.stdout.splitlines()
-                   if l.startswith("{")]
-            if out:
-                print(out[-1])
-                return
-            err = f"exit {r.returncode}: {r.stderr[-300:]}"
+            err = "unknown"
+            for attempt in range(2):
+                r = subprocess.run(
+                    [sys.executable, __file__],
+                    env={**os.environ, "_BENCH_CHILD": "1"},
+                    timeout=int(os.environ.get("BENCH_TIMEOUT", "3000")),
+                    capture_output=True, text=True)
+                out = [l for l in r.stdout.splitlines()
+                       if l.startswith("{")]
+                if out:
+                    print(out[-1])
+                    return
+                err = f"exit {r.returncode}: {r.stderr[-300:]}"
         except subprocess.TimeoutExpired:
             err = "timeout (TPU tunnel unresponsive)"
         print(json.dumps({
