@@ -164,58 +164,80 @@ def deconv_append(plan: DeconvPlan, state, sym, valid, cost=None):
 
     sym/valid: [nsamp, C]; cost (optional): [nsamp, C] i16.
 
-    TPU scatters with per-lane row indices are ~10x slower than a
-    bitonic sort at this shape, so compaction is ONE stable key sort:
-    each new symbol's key is its ring slot relative to the fleet-minimum
-    fill (delta_c + csum - 1), invalid samples get an off-the-end key.
-    Ranks equal keys only if every channel's keys start at 0, so the
-    DELTA_MAX ring rows at fill_min are prepended as dummies with keys
-    0..delta_c-1 (their values are the ring content they will rewrite
-    unchanged). The sorted block then lands with one uniform
-    dynamic_update_slice at row fill_min; rows past each channel's new
-    fill hold garbage, which is fine because readers never look past
-    fill (underflowing decodes are dropped by the host).
+    TPU scatters with per-lane row indices are ~10x slower than vector
+    shuffles at this shape, so compaction is a MONOTONE-ROUTING
+    BUTTERFLY: each valid sample's target ring slot relative to the
+    fleet-minimum fill is delta_c + csum - 1, so its downward shift
+    s_i = (D + i) - target is NON-DECREASING along the stream (csum
+    grows by exactly 1 at each valid; the D = DELTA_MAX ring rows at
+    fill_min ride along as a zero-shift prefix so laggards' first
+    symbols can land above fill_min). A monotone routing needs only
+    log2(D+n) compare-free passes — pass k moves every element whose
+    remaining shift has bit k set down by 2^k (LSB first) — instead of
+    the ~log^2 compare-exchange passes of a bitonic sort (~9x fewer
+    ops at fleet shapes). LSB-first on monotone shifts is collision-
+    free: an element can only be overwritten after it has been copied
+    further down (targets are strictly increasing in stream order, so
+    in-flight positions never cross). Invalid samples get shift 0 and
+    are overwritten in place by whichever valid claims their slot;
+    rows past each channel's new fill hold garbage, which is fine
+    because readers never look past fill (underflowing decodes are
+    dropped by the host).
     """
     n, C = sym.shape
     D = DELTA_MAX
     fill = state["fill"]                                   # [C] i32
     # Drift guard: a channel with no carrier emits symbols at a slightly
     # different rate (M&M random walk), so per-channel fills are an
-    # unbounded random walk around the fleet and can exceed the dummy-
-    # prefix window, which would silently misplace the LEADERS' writes.
-    # Laggards beyond the window are dragged forward instead: their
-    # stream gets a discontinuity (they are producing garbage anyway —
-    # framing drops it and re-locks), and every in-window channel stays
-    # exact.
+    # unbounded random walk around the fleet and can exceed the zero-
+    # shift prefix window, which would silently misplace the LEADERS'
+    # writes. Laggards beyond the window are dragged forward instead:
+    # their stream gets a discontinuity (they are producing garbage
+    # anyway — framing drops it and re-locks), and every in-window
+    # channel stays exact.
     fill = jnp.maximum(fill, jnp.max(fill) - (D - 1))
     fill_min = jnp.min(fill)
     delta = fill - fill_min                                # [C] >= 0
     csum = jnp.cumsum(valid.astype(jnp.int32), axis=0)     # [n, C]
     nvalid = csum[-1]
-    big = jnp.int32(plan.cap + n + D)
 
-    r = jnp.arange(D, dtype=jnp.int32)[:, None]
-    okey = jnp.where(r < delta[None, :], r, big)           # [D, C]
-    nkey = jnp.where(valid, delta[None, :] + csum - 1, big)
+    # Downward shift of each source row (D prefix rows, then n new):
+    # valid row j routes to slot delta_c + csum_j - 1, i.e. moves down
+    # by D + j - (delta_c + csum_j - 1) >= D - delta_c >= 1.
+    j = jnp.arange(n, dtype=jnp.int32)[:, None]
+    s_new = jnp.where(valid, D + j - (delta[None, :] + csum - 1), 0)
+    s = jnp.concatenate([jnp.zeros((D, C), jnp.int32), s_new], axis=0)
 
-    keys = jnp.concatenate([okey, nkey], axis=0)           # [D+n, C]
     old = lax.dynamic_slice(state["buf"], (fill_min, jnp.int32(0)),
                             (D, C))
-    vals = jnp.concatenate([old, sym.astype(jnp.uint8)], axis=0)
     if plan.store_costs:
-        # Pack (sym, cost) into ONE i32 sort operand — the bitonic sort
-        # is bandwidth-bound, so one payload lane instead of two cuts a
+        # Pack (sym, cost) into ONE i32 payload: the butterfly is
+        # bandwidth-bound, so one payload plane instead of two cuts a
         # third of the append cost.
         oldc = lax.dynamic_slice(state["cost"], (fill_min, jnp.int32(0)),
                                  (D, C))
+        vals = jnp.concatenate([old, sym.astype(jnp.uint8)], axis=0)
         costs = jnp.concatenate([oldc, cost.astype(jnp.int16)], axis=0)
-        packed = (vals.astype(jnp.int32) << 16) \
+        a = (vals.astype(jnp.int32) << 16) \
             | (costs.astype(jnp.int32) & 0xFFFF)
-        keys, packed = lax.sort((keys, packed), dimension=0, num_keys=1,
-                                is_stable=False)
-        sbuf = (packed >> 16).astype(jnp.uint8)
-        scost = ((packed & 0xFFFF) ^ 0x8000).astype(jnp.int32) - 0x8000
-        out = dict(
+    else:
+        a = jnp.concatenate([old, sym.astype(jnp.uint8)], axis=0)
+
+    M = D + n
+    for k in range(int(M - 1).bit_length()):
+        sh = 1 << k
+        s_up = jnp.concatenate(
+            [s[sh:], jnp.zeros((sh, C), jnp.int32)], axis=0)
+        a_up = jnp.concatenate(
+            [a[sh:], jnp.zeros((sh, C), a.dtype)], axis=0)
+        take = ((s_up >> k) & 1) == 1
+        a = jnp.where(take, a_up, a)
+        s = jnp.where(take, s_up - sh, s)
+
+    if plan.store_costs:
+        sbuf = (a >> 16).astype(jnp.uint8)
+        scost = ((a & 0xFFFF) ^ 0x8000).astype(jnp.int32) - 0x8000
+        return dict(
             state,
             buf=lax.dynamic_update_slice(state["buf"], sbuf,
                                          (fill_min, jnp.int32(0))),
@@ -223,10 +245,7 @@ def deconv_append(plan: DeconvPlan, state, sym, valid, cost=None):
                 state["cost"], scost.astype(jnp.int16),
                 (fill_min, jnp.int32(0))),
             fill=jnp.minimum(fill + nvalid, plan.cap - D - n))
-        return out
-    keys, svals = lax.sort((keys, vals), dimension=0, num_keys=1,
-                           is_stable=False)
-    buf = lax.dynamic_update_slice(state["buf"], svals,
+    buf = lax.dynamic_update_slice(state["buf"], a,
                                    (fill_min, jnp.int32(0)))
     return dict(state, buf=buf,
                 fill=jnp.minimum(fill + nvalid, plan.cap - D - n))

@@ -88,7 +88,7 @@ def _butterfly_table_array(rate: str) -> np.ndarray:
     return tbl
 
 
-def _acs_kernel(rate: str,
+def _acs_kernel(rate: str, cheap_q: bool,
                 tbl_ref, cs_ref, cost_ref, m_in_ref, p_in_ref,
                 m_out_ref, p_out_ref, us_ref, q_ref, scratch):
     """One grid step = one (128-lane slab, P_SUB-block sub-block) tile;
@@ -116,7 +116,7 @@ def _acs_kernel(rate: str,
     swp = [tbl_ref[:, 4 + h][:, None] for h in range(2)]
     sidx = [tbl_ref[:, 6 + h][:, None] for h in range(2)]
 
-    def body(t, carry):
+    def body(t, carry, want_q=True):
         # Metric/path planes live in the VMEM scratch ref: Mosaic
         # supports sublane-STRIDED LOADS from refs (tpu.strided_load)
         # but not strided slices of values, so the even/odd pred
@@ -168,29 +168,44 @@ def _acs_kernel(rate: str,
 
         best_m = best_key >> 7                      # arithmetic: floor
         us = best_key & 1
-        # Second-best state (for the election discriminant): min over
-        # all states excluding the best, via one exclusion pass.
-        second = None
-        for h in range(2):
-            k2 = jnp.min(jnp.where(halves_k[h] == best_key, BIG,
-                                   halves_k[h]),
-                         axis=0, keepdims=True)
-            second = k2 if second is None else jnp.minimum(second, k2)
-        q = (second >> 7) - best_m
+        if want_q:
+            # Second-best state (for the election discriminant): min
+            # over all states excluding the best, via one exclusion
+            # pass.
+            second = None
+            for h in range(2):
+                k2 = jnp.min(jnp.where(halves_k[h] == best_key, BIG,
+                                       halves_k[h]),
+                             axis=0, keepdims=True)
+                second = k2 if second is None else jnp.minimum(second, k2)
+            q_ref[t] = ((second >> 7) - best_m)[0]
+        else:
+            # TRACK mode needs no election — only the re-acquire
+            # watchdog's quality sum — so the exclusion pass runs on a
+            # 1-in-4 subsample (the caller rescales the sum by 4).
+            q_ref[t] = jnp.zeros((LANES,), jnp.int32)
 
         scratch[0:32] = halves_m[0] - best_m
         scratch[32:64] = halves_m[1] - best_m
         scratch[64:96] = halves_p[0]
         scratch[96:128] = halves_p[1]
         us_ref[t] = us[0]
-        q_ref[t] = q[0]
         return carry
 
-    def body2(i, carry):      # 2x unroll: halves loop/branch overhead
-        carry = body(2 * i, carry)
-        return body(2 * i + 1, carry)
+    if cheap_q:
+        def body4(i, carry):  # q on block 4i only; 4x unrolled
+            carry = body(4 * i, carry, want_q=True)
+            carry = body(4 * i + 1, carry, want_q=False)
+            carry = body(4 * i + 2, carry, want_q=False)
+            return body(4 * i + 3, carry, want_q=False)
 
-    jax.lax.fori_loop(0, P_SUB // 2, body2, 0)
+        jax.lax.fori_loop(0, P_SUB // 4, body4, 0)
+    else:
+        def body2(i, carry):  # 2x unroll: halves loop/branch overhead
+            carry = body(2 * i, carry)
+            return body(2 * i + 1, carry)
+
+        jax.lax.fori_loop(0, P_SUB // 2, body2, 0)
 
     @pl.when(i == pl.num_programs(1) - 1)
     def _():
@@ -198,19 +213,22 @@ def _acs_kernel(rate: str,
         p_out_ref[...] = scratch[64:128]
 
 
-@partial(jax.jit, static_argnames=("rate", "interpret"))
-def viterbi_acs(rate: str, metric, path, cs, cost, interpret=False):
+@partial(jax.jit, static_argnames=("rate", "interpret", "cheap_q"))
+def viterbi_acs(rate: str, metric, path, cs, cost, interpret=False,
+                cheap_q=False):
     """Run the ACS kernel over T = E*P_SUB blocks.
 
     metric [64, N] i32, path [64, N] i32 (u32 bits), cs/cost [T, N] i32
     with N a multiple of 128 (channels x syncs on lanes).
-    Returns (metric, path, us [T, N] i32 bits, q [T, N] i32).
+    Returns (metric, path, us [T, N] i32 bits, q [T, N] i32). With
+    cheap_q, q is computed for block indices 4i only (zeros elsewhere)
+    — a 1-in-4 subsample for the TRACK watchdog.
     """
     T, N = cs.shape
     assert T % P_SUB == 0 and N % LANES == 0
     nT = T // P_SUB
     nG = N // LANES
-    kernel = partial(_acs_kernel, rate)
+    kernel = partial(_acs_kernel, rate, cheap_q)
     blk = pl.BlockSpec((P_SUB, LANES), lambda g, i: (i, g),
                        memory_space=pltpu.VMEM)
     st = pl.BlockSpec((64, LANES), lambda g, i: (0, g),
@@ -329,7 +347,7 @@ def viterbi_decode(plan: ViterbiPlan, state, maps, interpret=False):
 
     m2, p2, us, q = viterbi_acs(plan.rate, state["metric"],
                                 state["path"], csf, costf,
-                                interpret=interpret)
+                                interpret=interpret, cheap_q=track)
     us = us[:, :ncols].reshape(T, C, plan.nsyncs)
     q = q[:, :ncols].reshape(T, C, plan.nsyncs)
 
@@ -343,7 +361,9 @@ def viterbi_decode(plan: ViterbiPlan, state, maps, interpret=False):
     if track:
         cur_out = state["current"]
         bits = us.reshape(T, C).T.astype(jnp.uint8)
-        dsel = qsum[:, :, 0].T                      # [C, E]
+        # cheap_q subsampled 1-in-4 blocks; rescale to full-sum units
+        # so the watchdog threshold (entered from ACQUIRE) still holds.
+        dsel = 4 * qsum[:, :, 0].T                  # [C, E]
     else:
         def elect(cur, qk):
             best = jnp.argmax(qk, axis=1).astype(jnp.int32)    # [C]
