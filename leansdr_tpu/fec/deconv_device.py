@@ -172,13 +172,15 @@ def deconv_append(plan: DeconvPlan, state, sym, valid, cost=None):
     grows by exactly 1 at each valid; the D = DELTA_MAX ring rows at
     fill_min ride along as a zero-shift prefix so laggards' first
     symbols can land above fill_min). A monotone routing needs only
-    log2(D+n) compare-free passes — pass k moves every element whose
-    remaining shift has bit k set down by 2^k (LSB first) — instead of
-    the ~log^2 compare-exchange passes of a bitonic sort (~9x fewer
-    ops at fleet shapes). LSB-first on monotone shifts is collision-
-    free: an element can only be overwritten after it has been copied
-    further down (targets are strictly increasing in stream order, so
-    in-flight positions never cross). Invalid samples get shift 0 and
+    log4(D+n) compare-free passes — pass k moves every element down by
+    base-4 digit k of its remaining shift (LSB first) — instead of the
+    ~log^2 compare-exchange passes of a bitonic sort (~17x fewer
+    passes at fleet shapes). Digit-LSB-first on monotone shifts is
+    collision-free: an element can only be overwritten after it has
+    been copied further down (targets are strictly increasing in
+    stream order, so in-flight positions never cross, and two movers
+    claiming one slot in a pass contradict shift monotonicity — see
+    the inline proof sketch). Invalid samples get shift 0 and
     are overwritten in place by whichever valid claims their slot;
     rows past each channel's new fill hold garbage, which is fine
     because readers never look past fill (underflowing decodes are
@@ -223,16 +225,32 @@ def deconv_append(plan: DeconvPlan, state, sym, valid, cost=None):
     else:
         a = jnp.concatenate([old, sym.astype(jnp.uint8)], axis=0)
 
+    # Radix-4 butterfly: pass k consumes base-4 digit k of every
+    # element's remaining shift (LSB first), moving it down by
+    # {0,1,2,3} * 4^k. Monotone shifts make this collision-free at any
+    # radix: two movers claiming one slot in the same pass would need
+    # high_Y < high_X (targets increase with position) and
+    # high_Y >= high_X (shifts non-decreasing) at once. Radix 4 halves
+    # the pass count (and the HBM traffic) of the radix-2 butterfly.
     M = D + n
-    for k in range(int(M - 1).bit_length()):
+
+    def up(x, m):
+        m = min(m, M)       # static; all-zeros once past the end
+        return jnp.concatenate(
+            [x[m:], jnp.zeros((m,) + x.shape[1:], x.dtype)], axis=0)
+
+    for k in range(0, int(M - 1).bit_length(), 2):
         sh = 1 << k
-        s_up = jnp.concatenate(
-            [s[sh:], jnp.zeros((sh, C), jnp.int32)], axis=0)
-        a_up = jnp.concatenate(
-            [a[sh:], jnp.zeros((sh, C), a.dtype)], axis=0)
-        take = ((s_up >> k) & 1) == 1
-        a = jnp.where(take, a_up, a)
-        s = jnp.where(take, s_up - sh, s)
+        s1, s2, s3 = up(s, sh), up(s, 2 * sh), up(s, 3 * sh)
+        d1 = ((s1 >> k) & 3) == 1
+        d2 = ((s2 >> k) & 3) == 2
+        d3 = ((s3 >> k) & 3) == 3
+        a = jnp.where(d3, up(a, 3 * sh),
+                      jnp.where(d2, up(a, 2 * sh),
+                                jnp.where(d1, up(a, sh), a)))
+        s = jnp.where(d3, s3 - 3 * sh,
+                      jnp.where(d2, s2 - 2 * sh,
+                                jnp.where(d1, s1 - sh, s)))
 
     if plan.store_costs:
         sbuf = (a >> 16).astype(jnp.uint8)
