@@ -198,9 +198,8 @@ def main():
             "metric": "rx_chain_throughput_per_chip",
             "value": 0.0, "unit": "Msamples/s/chip",
             "vs_baseline": 0.0, "error": err,
-            "note": ("TPU tunnel failure, not a regression; last "
-                     "measured chain=161.1 Msps/chip (2026-08-18, "
-                     "pre-optimization), see docs/PERF.md")}))
+            "note": ("TPU tunnel failure, not a regression; see "
+                     "docs/PERF.md for the last recorded numbers")}))
         return
 
     import jax

@@ -26,36 +26,57 @@ HBM_PEAK = 0.82e12          # bytes/s
 MXU_PEAK_F32 = 49e12        # FLOP/s (f32 on the bf16 MXU, conservative)
 
 
-def marginal_time(fn, arg, reps=4):
-    """Chained timing: each rep depends on the previous via a scalar
-    feedback term, so dispatch pipelining cannot hide execution.
+def marginal_time(fn, arg, reps_lo=4, reps_hi=16):
+    """Per-invocation kernel time, measured with a DEVICE-SIDE loop.
 
-    For these BANDWIDTH-bound kernels the right marginal is per-rep
-    THROUGHPUT: reps are independent dispatches (the device may pipeline
-    them) and the single final fetch sums every rep's tiny digest, so
-    the measured window still covers all executions. The previous
-    `arg + s` / `max(y)` serialization added ~3 extra full-array HBM
-    passes per rep that did not cancel in the marginal and understated
-    the kernel's bandwidth ~2.5x.
+    The round-2 version issued independent host dispatches and took the
+    marginal between 1 and R of them; over the axon tunnel the per-rep
+    work (<1 ms for these shapes) drowned in ms-scale dispatch jitter,
+    the marginal went <=0, and the 1e-9 floor fabricated impossible
+    numbers (BENCH_r02's fft4096_per_s = 1.024e12).  Now the rep loop is
+    a `lax.fori_loop` INSIDE one jitted program:
+
+      * iterations are serialized by the loop carry (the digest feeds a
+        tiny in-place dynamic-update-slice of the carried input buffer,
+        so XLA's loop-invariant code motion cannot hoist the kernel out,
+        and the update aliases the carry -- no extra full-array pass);
+      * one timed call covers reps_hi kernel executions, so the marginal
+        (t_hi - t_lo)/(reps_hi - reps_lo) cancels ALL fixed dispatch
+        overhead and sits far above timer noise.
     """
+    import functools
+
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def step(a):
-        y = fn(a)
-        return jnp.sum(y.reshape(-1)[:8])     # O(1)-traffic digest
+    zidx = (0,) * arg.ndim
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def loop(a, reps):
+        def body(_, carry):
+            a, s = carry
+            # In-place on the loop carry; value is ~s*1e-30 (negligible,
+            # but data-dependent so nothing can be hoisted or elided).
+            a = a.at[zidx].add(s * jnp.asarray(1e-30, a.dtype))
+            y = fn(a)
+            return a, s + jnp.sum(y.reshape(-1)[:8]).astype(a.dtype)
+        _, s = jax.lax.fori_loop(
+            0, reps, body, (a, jnp.zeros((), arg.dtype)))
+        return s
 
     def run(n):
         best = 1e9
         for _ in range(3):
             t0 = time.perf_counter()
-            ds = [step(arg) for _ in range(n)]
-            float(np.asarray(sum(ds)))        # awaits every rep
+            float(np.asarray(loop(arg, n)))
             best = min(best, time.perf_counter() - t0)
         return best
-    run(1)
-    return max((run(reps) - run(1)) / (reps - 1), 1e-9)
+
+    run(reps_lo)   # compile both trip-count variants before timing
+    run(reps_hi)
+    dt = (run(reps_hi) - run(reps_lo)) / (reps_hi - reps_lo)
+    assert dt > 0, f"non-positive marginal {dt}; measurement invalid"
+    return dt
 
 
 def bench_fir():
@@ -82,6 +103,8 @@ def bench_fir():
     dt = marginal_time(fir, x)
     flops = 2 * C * 2 * n * nt
     bytes_moved = 2 * C * 2 * n * 4
+    sol = bytes_moved / dt / HBM_PEAK
+    assert sol <= 1.5, f"impossible SoL {sol}: measurement collapsed"
     return {
         "kernel": "rrc_fir",
         "samples_per_s": round(C * n / dt / 1e6, 1),
@@ -111,6 +134,8 @@ def bench_fft():
     dt = marginal_time(fft, x)
     flops = 5 * B * N * np.log2(N)
     bytes_moved = 2 * B * N * 8
+    sol = bytes_moved / dt / HBM_PEAK
+    assert sol <= 1.5, f"impossible SoL {sol}: measurement collapsed"
     return {
         "kernel": "fft4096",
         "transforms_per_s": round(B / dt, 0),
