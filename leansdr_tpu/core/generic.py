@@ -4,7 +4,11 @@ In the chunked-stream design most of these collapse to one-line array
 ops; they are kept as named functions/classes so every component of the
 reference inventory (SURVEY.md section 2.3) has a direct counterpart:
 
-  file_reader/file_writer      -> util.iofmt + the app I/O loops
+  file_reader/file_writer      -> util.iofmt + the app I/O loops;
+                                  set_realtime filler semantics
+                                  (generic.h:64-77, EWOULDBLOCK -> emit
+                                  filler items) live in
+                                  apps.leandvbtx._read_packets (--fill)
   file_printer                 -> util.info (tagged-line emitters)
   file_carrayprinter           -> util.info.ConstWriter.symbols
   file_vectorprinter           -> util.info.SpectrumWriter

@@ -45,3 +45,29 @@ def test_device_modulator_matches_host():
     latency = (dev.ncoeffs + 2) // 2
     seg = y[latency * 2: latency * 2 + len(host)]
     assert np.abs(host - seg).max() < 1e-5
+
+
+@pytest.mark.parametrize("kw", [
+    dict(rate="1/2", interp=2),
+    dict(rate="3/4", interp=2),
+    dict(rate="7/8", interp=4, decim=2),
+    dict(rate="1/2", interp=2, agc=True),
+])
+def test_tx_stream_equals_batch(kw):
+    """TxStream.feed over arbitrary chunk boundaries must concatenate to
+    exactly the batch modulate() output (streaming TX, leandvbtx.cc is a
+    streaming process)."""
+    cfg = dvbs_tx.TxConfig(**kw)
+    pkts = tsgen.generate(90)
+    batch = dvbs_tx.modulate(pkts, cfg)
+
+    tx = dvbs_tx.TxStream(cfg)
+    rng = np.random.default_rng(7)
+    chunks, k = [], 0
+    while k < len(pkts):
+        n = int(rng.integers(1, 17))
+        chunks.append(tx.feed(pkts[k:k + n]))
+        k += n
+    ours = np.concatenate(chunks)
+    assert ours.shape == batch.shape
+    np.testing.assert_array_equal(ours, batch)
