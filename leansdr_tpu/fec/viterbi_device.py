@@ -399,6 +399,141 @@ def viterbi_decode(plan: ViterbiPlan, state, maps, interpret=False):
     return new, by, dsel, underflow
 
 
+def _punctured_block_inputs(plan: ViterbiPlan, maps, win_sym, win_cost):
+    """Per-replica trellis-block inputs for the punctured rates
+    (dvb.h:1353-1363): block b of sync s = shift*M + map reads symbols
+    [b*ns + shift, +ns), maps them, concatenates label bits and sums
+    costs. Returns (cs [T, C, nsyncs] i32, cost [T, C, nsyncs] i32)."""
+    t = make_trellis(plan.rate)
+    bps = t.bits_out // plan.nshifts
+    C, ns = plan.nchan, plan.nshifts
+    T = plan.nblocks
+    M = plan.nconj * plan.nrot
+    nsym = len(maps[0])
+    maps_arr = np.asarray(maps, np.int32)                    # [M, nsym]
+    cs_parts, cost_parts = [], []
+    msyms = []
+    for m in range(M):
+        ms = jnp.zeros(win_sym.shape, jnp.int32)
+        for v in range(nsym):
+            ms = jnp.where(win_sym == v, np.int32(maps_arr[m, v]), ms)
+        msyms.append(ms)
+    for sh in range(ns):
+        for m in range(M):
+            cs_b = jnp.zeros((T, C), jnp.int32)
+            cost_b = jnp.zeros((T, C), jnp.int32)
+            for i in range(ns):
+                o = sh + i
+                lim = o + (T - 1) * ns + 1
+                sl = jax.lax.slice(msyms[m], (o, 0), (lim, C), (ns, 1))
+                cl = jax.lax.slice(win_cost, (o, 0), (lim, C), (ns, 1))
+                cs_b = (cs_b << bps) | sl
+                cost_b = cost_b + cl
+            cs_parts.append(cs_b)
+            cost_parts.append(cost_b)
+    return (jnp.stack(cs_parts, axis=2), jnp.stack(cost_parts, axis=2))
+
+
+@partial(jax.jit, static_argnames=("plan", "maps", "interpret"))
+def viterbi_decode_banked(plan: ViterbiPlan, state, maps,
+                          interpret=False):
+    """Punctured-rate fleet decode on the banked Pallas ACS
+    (fec/viterbi_banked.py) — the TPU hot path for rates with
+    nshifts > 1 (3/4, 7/8, 5/6, 4/6, 2/3 as 4/6).
+
+    State planes are STORED-row-major [64, n_lanes] (lane = c*nsyncs+s,
+    sublane = the banked storage permutation of the trellis state).
+    plan.nsyncs == 1 selects TRACK mode: only each channel's elected
+    sync replica advances (map + symbol shift chosen per channel from
+    state["tsync"]), with the 1-in-4 subsampled discriminant.
+
+    Returns (new_state, bytes [C, nbytes] u8, discr [C, E+1] i32,
+    underflow [C] bool).
+    """
+    from .viterbi_banked import viterbi_acs_banked
+    t = make_trellis(plan.rate)
+    bits_in = t.bits_in
+    C, E, ns = plan.nchan, plan.E, plan.nshifts
+    T = plan.nblocks
+    track = plan.nsyncs == 1
+    underflow = state["fill"] < plan.needed
+    win_sym = state["buf"][:plan.needed].astype(jnp.int32)   # [need, C]
+    win_cost = state["cost"][:plan.needed].astype(jnp.int32)
+
+    if track:
+        M = plan.nconj * plan.nrot
+        full = ViterbiPlan(plan.rate, C, plan.nsamp, ns, E, plan.cap,
+                           nsyncs=M * ns, nconj=plan.nconj,
+                           nrot=plan.nrot)
+        cs_a, cost_a = _punctured_block_inputs(full, maps, win_sym,
+                                               win_cost)
+        tsync = state["tsync"][None, :, None]                # [1, C, 1]
+        cs = jnp.take_along_axis(cs_a, tsync, axis=2)[:, :, 0]
+        cost = jnp.take_along_axis(cost_a, tsync, axis=2)[:, :, 0]
+        ncols = C
+    else:
+        cs_a, cost_a = _punctured_block_inputs(plan, maps, win_sym,
+                                               win_cost)
+        cs = cs_a.reshape(T, C * plan.nsyncs)
+        cost = cost_a.reshape(T, C * plan.nsyncs)
+        ncols = C * plan.nsyncs
+
+    pad = plan.n_lanes - ncols
+    if pad:
+        cs = jnp.pad(cs, ((0, 0), (0, pad)))
+        cost = jnp.pad(cost, ((0, 0), (0, pad)))
+    # cheap_q (the rate-1/2 kernel's 1-in-4 TRACK subsample) is NOT
+    # faster for the banked kernel, so TRACK keeps the full per-block
+    # discriminant — no cadence approximation for punctured rates.
+    m2, h2, l2, us, q = viterbi_acs_banked(
+        plan.rate, state["metric"], state["path_hi"], state["path_lo"],
+        cs, cost, interpret=interpret, cheap_q=False)
+    us = us[:, :ncols].reshape(T, C, plan.nsyncs)
+    q = q[:, :ncols].reshape(T, C, plan.nsyncs)
+
+    dd = 64 // bits_in
+    qs = q.reshape(E, P_SUB, C, plan.nsyncs)
+    qsum = qs[:, dd:].sum(axis=1)                            # [E, C, ns]
+
+    if track:
+        cur_out = state["current"]
+        blocks = us.reshape(T, C).T                          # [C, T]
+        dsel = qsum[:, :, 0].T                               # [C, E]
+    else:
+        def elect(cur, qk):
+            best = jnp.argmax(qk, axis=1).astype(jnp.int32)
+            bv = jnp.take_along_axis(qk, best[:, None], axis=1)[:, 0]
+            cv = jnp.take_along_axis(qk, cur[:, None], axis=1)[:, 0]
+            return jnp.where(bv > cv, best, cur), cur
+
+        cur_out, elected = jax.lax.scan(elect, state["current"], qsum)
+        use = us.reshape(E, P_SUB, C, plan.nsyncs)
+        sel = jnp.take_along_axis(
+            use, elected[:, None, :, None], axis=3)[:, :, :, 0]
+        blocks = sel.reshape(T, C).transpose(1, 0)           # [C, T]
+        dsel = jnp.take_along_axis(
+            qsum, elected[:, :, None], axis=2)[:, :, 0].T    # [C, E]
+    shifts = jnp.asarray(
+        np.arange(bits_in - 1, -1, -1, dtype=np.int32))
+    bits = ((blocks[:, :, None] >> shifts) & 1).reshape(
+        C, T * bits_in).astype(jnp.uint8)
+    w = jnp.asarray((1 << np.arange(7, -1, -1)).astype(np.int32))
+    by = jnp.sum(bits.reshape(C, T * bits_in // 8, 8) * w, axis=2,
+                 dtype=jnp.int32).astype(jnp.uint8)
+    dsel = jnp.concatenate(
+        [dsel, (state["tsync"] if track else cur_out)[:, None]], axis=1)
+
+    Sc = plan.consumed
+    buf = jnp.concatenate(
+        [state["buf"][Sc:], jnp.zeros((Sc, C), jnp.uint8)], axis=0)
+    cbuf = jnp.concatenate(
+        [state["cost"][Sc:], jnp.zeros((Sc, C), jnp.int16)], axis=0)
+    new = dict(state, buf=buf, cost=cbuf,
+               fill=jnp.maximum(state["fill"] - Sc, 0),
+               metric=m2, path_hi=h2, path_lo=l2, current=cur_out)
+    return new, by, dsel, underflow
+
+
 @partial(jax.jit, static_argnames=("plan", "maps"))
 def viterbi_decode_xla(plan: ViterbiPlan, state, maps):
     """All-rate fleet decode: the batched XLA-scan ACS over S = C *
@@ -426,32 +561,10 @@ def viterbi_decode_xla(plan: ViterbiPlan, state, maps):
     win_sym = state["buf"][:plan.needed].astype(jnp.int32)   # [need, C]
     win_cost = state["cost"][:plan.needed].astype(jnp.int32)
 
-    nsym = len(maps[0])
-    maps_arr = np.asarray(maps, np.int32)                    # [M, nsym]
-    # Replica order matches ViterbiSync: sync s = shift * M + map
-    # (viterbi.py sync_shift/sync_map).
-    cs_parts, cost_parts = [], []
-    msyms = []
-    for m in range(M):
-        ms = jnp.zeros(win_sym.shape, jnp.int32)
-        for v in range(nsym):
-            ms = jnp.where(win_sym == v, np.int32(maps_arr[m, v]), ms)
-        msyms.append(ms)
-    for sh in range(ns):
-        for m in range(M):
-            cs_b = jnp.zeros((T, C), jnp.int32)
-            cost_b = jnp.zeros((T, C), jnp.int32)
-            for i in range(ns):
-                o = sh + i
-                lim = o + (T - 1) * ns + 1
-                sl = jax.lax.slice(msyms[m], (o, 0), (lim, C), (ns, 1))
-                cl = jax.lax.slice(win_cost, (o, 0), (lim, C), (ns, 1))
-                cs_b = (cs_b << bps) | sl
-                cost_b = cost_b + cl
-            cs_parts.append(cs_b)
-            cost_parts.append(cost_b)
-    cs_all = jnp.stack(cs_parts, axis=2).reshape(T, S)       # [T, S]
-    cost_all = jnp.stack(cost_parts, axis=2).reshape(T, S)
+    cs_all, cost_all = _punctured_block_inputs(
+        plan, maps, win_sym, win_cost)
+    cs_all = cs_all.reshape(T, S)                            # [T, S]
+    cost_all = cost_all.reshape(T, S)
 
     cst, phi, plo, us, q = _viterbi_chunk_device(
         plan.rate, state["metric"], state["path_hi"], state["path_lo"],
@@ -498,6 +611,23 @@ def viterbi_decode_xla(plan: ViterbiPlan, state, maps):
     return new, by, dsel, underflow
 
 
+@partial(jax.jit, static_argnames=("C", "nsyncs", "n_trk"))
+def _banked_to_track(plane, current, C: int, nsyncs: int, n_trk: int):
+    """Keep each channel's elected sync replica lane (banked layout:
+    lane = c*nsyncs + s, planes [64, N])."""
+    cols = jnp.arange(C, dtype=jnp.int32) * nsyncs + current
+    return jnp.zeros((64, n_trk), plane.dtype).at[:, :C].set(
+        plane[:, cols])
+
+
+@partial(jax.jit, static_argnames=("C", "nsyncs", "n_acq"))
+def _banked_to_acquire(plane, C: int, nsyncs: int, n_acq: int):
+    """Seed all replicas from the tracked lane (they diverge within one
+    traceback depth, like the reference's fresh replicas)."""
+    return jnp.zeros((64, n_acq), plane.dtype).at[:, :C * nsyncs].set(
+        jnp.repeat(plane[:, :C], nsyncs, axis=1))
+
+
 @partial(jax.jit, static_argnames=("C", "n_trk"))
 def _planes_to_track(metric, path, current, C: int, n_trk: int):
     """Keep only each channel's elected sync replica's trellis state."""
@@ -533,15 +663,24 @@ class MultiViterbiSync:
 
     def __init__(self, cstln, rate: str, nchan: int, nsamp: int,
                  omega: float, fastlock: bool = True,
-                 interpret: bool | None = None):
+                 interpret: bool | None = None,
+                 banked: bool | None = None):
         maps, nconj, nrot, nshifts = make_sync_maps(cstln, rate)
         self.maps = tuple(tuple(int(v) for v in row) for row in maps)
         # nshifts=1, 4-sync codes (QPSK rate 1/2, the north-star config)
-        # use the Pallas constant-geometry ACS bank; everything else
-        # (punctured rates expand puncturing into the trellis with
-        # nshifts symbol-offset replicas, dvb.h:1179-1212) uses the
-        # all-rate batched XLA-scan ACS (viterbi_decode_xla).
-        self.xla = not (nconj * nrot == NSYNCS and nshifts == 1)
+        # use the Pallas constant-geometry ACS bank. Punctured rates
+        # (puncturing expanded into the trellis with nshifts
+        # symbol-offset replicas, dvb.h:1179-1212) use the BANKED
+        # Pallas ACS (fec/viterbi_banked.py) on TPU; on CPU they fall
+        # back to the exact XLA-scan ACS (viterbi_decode_xla) because
+        # the Pallas interpreter is orders of magnitude slower.
+        punctured = not (nconj * nrot == NSYNCS and nshifts == 1)
+        if interpret is None:
+            interpret = jax.default_backend() == "cpu"
+        if banked is None:
+            banked = not interpret
+        self.banked = punctured and banked
+        self.xla = punctured and not self.banked
         prod = int(nsamp / omega)
         E = max(1, prod // (P_SUB * nshifts))
         cap = E * P_SUB * nshifts + prod + nsamp + DELTA_MAX + 8192
@@ -551,8 +690,7 @@ class MultiViterbiSync:
         self.plan_track = ViterbiPlan(rate, nchan, nsamp, nshifts, E,
                                       cap, nsyncs=1, nconj=nconj,
                                       nrot=nrot)
-        self.interpret = (jax.default_backend() == "cpu"
-                          if interpret is None else interpret)
+        self.interpret = interpret
         C = nchan
         self.state = {
             "buf": jnp.zeros((cap, C), jnp.uint8),
@@ -567,6 +705,12 @@ class MultiViterbiSync:
                 metric=jnp.zeros((S, 64), jnp.int32),
                 path_hi=jnp.zeros((S, 64), jnp.uint32),
                 path_lo=jnp.zeros((S, 64), jnp.uint32))
+        elif self.banked:
+            N = self.plan.n_lanes
+            self.state.update(
+                metric=jnp.zeros((64, N), jnp.int32),
+                path_hi=jnp.zeros((64, N), jnp.int32),
+                path_lo=jnp.zeros((64, N), jnp.int32))
         else:
             N = self.plan.n_lanes
             self.state.update(
@@ -606,7 +750,22 @@ class MultiViterbiSync:
             return
         C = self.plan.nchan
         st = self.state
-        if self._want_track:
+        nsyncs = self.plan.nsyncs
+        if self.banked:
+            if self._want_track:
+                m, h, lo = (_banked_to_track(
+                    st[k], st["current"], C, nsyncs,
+                    self.plan_track.n_lanes)
+                    for k in ("metric", "path_hi", "path_lo"))
+                self.state = dict(st, metric=m, path_hi=h, path_lo=lo,
+                                  tsync=st["current"])
+            else:
+                m, h, lo = (_banked_to_acquire(
+                    st[k], C, nsyncs, self.plan.n_lanes)
+                    for k in ("metric", "path_hi", "path_lo"))
+                self.state = dict(st, metric=m, path_hi=h, path_lo=lo,
+                                  current=st["tsync"])
+        elif self._want_track:
             m, p = _planes_to_track(st["metric"], st["path"],
                                     st["current"], C,
                                     self.plan_track.n_lanes)
@@ -623,6 +782,9 @@ class MultiViterbiSync:
         if self.xla:
             self.state, by, discr, under = viterbi_decode_xla(
                 plan, self.state, self.maps)
+        elif self.banked:
+            self.state, by, discr, under = viterbi_decode_banked(
+                plan, self.state, self.maps, interpret=self.interpret)
         else:
             self.state, by, discr, under = viterbi_decode(
                 plan, self.state, self.maps, interpret=self.interpret)
@@ -632,7 +794,8 @@ class MultiViterbiSync:
     # -- fused-dispatch interface (pipelines/multi_rx._fused_chunk) ------
     @property
     def kind(self):
-        return "viterbi_xla" if self.xla else "viterbi"
+        return ("viterbi_xla" if self.xla
+                else "viterbi_banked" if self.banked else "viterbi")
 
     @property
     def plan_dec(self):

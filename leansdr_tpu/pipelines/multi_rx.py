@@ -107,6 +107,10 @@ def _fused_chunk(params, sym_consts, mf_taps, nchan, kind, plan, plan_dec,
             if kind == "viterbi":
                 dstate, by, errs, under = viterbi_decode(
                     plan_dec, dstate, maps, interpret=interpret)
+            elif kind == "viterbi_banked":
+                from ..fec.viterbi_device import viterbi_decode_banked
+                dstate, by, errs, under = viterbi_decode_banked(
+                    plan_dec, dstate, maps, interpret=interpret)
             elif kind == "viterbi_xla":
                 from ..fec.viterbi_device import viterbi_decode_xla
                 dstate, by, errs, under = viterbi_decode_xla(

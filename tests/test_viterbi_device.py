@@ -157,3 +157,112 @@ def test_track_mode_policy_transitions():
     bad[0, :E] = 10                   # collapse channel 0's discriminant
     v.observe(bad, under)
     assert not v._want_track          # watchdog -> acquire
+
+
+@pytest.mark.parametrize("rate", ["3/4", "7/8", "5/6"])
+def test_banked_acs_matches_host_bank(rate):
+    """Banked punctured-rate kernel (fec/viterbi_banked.py) ==
+    ViterbiBank bit-for-bit — metrics, 64-bit register-exchange paths,
+    decoded symbols, discriminants — with coarse costs forcing ties."""
+    from leansdr_tpu.fec import viterbi_banked as vb
+    geo = vb.bank_geometry(rate)
+    t = vit.make_trellis(rate)
+    T, N = vb.P_SUB, 128
+    rng = np.random.default_rng(11)
+    cs = rng.integers(0, t.ncs, (T, N)).astype(np.int32)
+    cost = -(rng.integers(0, 4, (T, N)) * 3).astype(np.int32)
+
+    m2, h2, l2, us, q = vb.viterbi_acs_banked(
+        rate, jnp.zeros((64, N), jnp.int32),
+        jnp.zeros((64, N), jnp.int32), jnp.zeros((64, N), jnp.int32),
+        jnp.asarray(cs), jnp.asarray(cost), interpret=True)
+    us = np.asarray(us)
+    q = np.asarray(q)
+
+    bank = vit.ViterbiBank(t, N)
+    idx = np.arange(N)
+    for tt in range(T):
+        bus, bq = bank.update(idx, cs[tt].astype(np.int64),
+                              cost[tt].astype(np.int64))
+        assert np.array_equal(us[tt], bus), f"us mismatch at block {tt}"
+        assert np.array_equal(q[tt], bq), f"q mismatch at block {tt}"
+    # Planes are stored under the bank permutation geo.orig.
+    assert np.array_equal(np.asarray(m2),
+                          bank.cost[:, geo.orig].T.astype(np.int32))
+    p64 = ((np.asarray(h2).astype(np.uint32).astype(np.uint64) << 32)
+           | np.asarray(l2).astype(np.uint32))
+    nbits, depth = vit.PATH_SPEC[rate]
+    pmask = np.uint64((1 << min(63, nbits * depth)) - 1)
+    assert np.array_equal(p64 & pmask,
+                          (bank.path[:, geo.orig].T & pmask))
+
+
+@pytest.mark.parametrize("rate", ["3/4", "7/8"])
+def test_banked_fleet_decode_matches_xla(rate):
+    """viterbi_decode_banked == viterbi_decode_xla (both exact vs the
+    host bank) through the full fleet decode wrapper — bytes,
+    discriminants and elections — plus a TRACK-mode transition."""
+    cstln = make_dvbs2_constellation(Predef.QPSK, rate)
+    C, nsamp = 3, 1 << 14
+    rng = np.random.default_rng(5)
+    a = MultiViterbiSync(cstln, rate, C, nsamp, 2.0, banked=False)
+    b = MultiViterbiSync(cstln, rate, C, nsamp, 2.0, banked=True,
+                         interpret=True)
+    for it in range(3):
+        n = a.plan.consumed + (a.plan.nshifts if it == 0 else 0)
+        sym = rng.integers(0, 4, (n, C)).astype(np.uint8)
+        val = np.ones((n, C), bool)
+        cost = -(rng.integers(0, 4, (n, C)) * 3).astype(np.int16)
+        for x in (a, b):
+            x.append(jnp.asarray(sym), jnp.asarray(val),
+                     jnp.asarray(cost))
+        by_a, d_a, u_a = a.decode()
+        by_b, d_b, u_b = b.decode()
+        assert np.array_equal(np.asarray(u_a), np.asarray(u_b))
+        assert np.array_equal(np.asarray(by_a), np.asarray(by_b))
+        assert np.array_equal(np.asarray(d_a), np.asarray(d_b))
+    b._want_track = True
+    b.apply_pending_transition()
+    assert b.track and b.plan_dec.nsyncs == 1
+    n = b.plan_track.consumed
+    sym = rng.integers(0, 4, (n, C)).astype(np.uint8)
+    cost = -(rng.integers(0, 4, (n, C)) * 3).astype(np.int16)
+    b.append(jnp.asarray(sym), jnp.asarray(np.ones((n, C), bool)),
+             jnp.asarray(cost))
+    by_t, d_t, u_t = b.decode()
+    assert by_t.shape == (C, b.plan_track.nbytes)
+    assert not np.asarray(u_t).any()
+
+
+def test_banked_fleet_e2e_decodes_ts():
+    """Real DVB-S 3/4 stimulus through MultiDvbsReceiver with the
+    banked kernel (interpret): payload-verified TS out."""
+    from leansdr_tpu.pipelines import tsgen, dvbs_tx
+    from leansdr_tpu.pipelines.dvbs_rx import RxConfig
+    from leansdr_tpu.pipelines.multi_rx import MultiDvbsReceiver
+
+    C, CH = 2, 1 << 15
+    pkts = [tsgen.generate(60, start=777 * c) for c in range(C)]
+    iqs = [dvbs_tx.modulate(p, dvbs_tx.TxConfig(rate="3/4", interp=2))
+           for p in pkts]
+    rx = MultiDvbsReceiver(
+        RxConfig(Fs=4e6, Fm=2e6, rate="3/4", fastlock=True,
+                 float_scale=75.0, exact_lut=False, viterbi=True),
+        C, chunk_samples=CH)
+    # Swap in the banked path (CPU default is XLA; interpret kernel).
+    rx.deconv = type(rx.deconv)(rx.cstln, "3/4", C, CH, 2.0,
+                                banked=True, interpret=True)
+    assert rx.deconv.kind == "viterbi_banked"
+    ra = rx.params.readahead + (len(rx.mf_taps) - 1
+                                if rx.mf_taps is not None else 0)
+    n = (min(len(q) for q in iqs) - ra) // CH * CH
+    x = np.stack([q[:n + ra] for q in iqs]) * np.float32(75.0)
+    decoded = verified = 0
+    for o in range(0, n, CH):
+        for c, ts in enumerate(rx.process(
+                jnp.asarray(x[:, o:o + CH + ra]))):
+            decoded += len(ts)
+            verified += sum(1 for p in ts
+                            if (pkts[c] == p).all(axis=1).any())
+    assert decoded >= C * 8, decoded
+    assert verified >= decoded * 2 // 3, (decoded, verified)
