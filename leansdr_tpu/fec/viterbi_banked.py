@@ -305,7 +305,32 @@ def _kernel_tables(rate: str):
     return tblA
 
 
-def _acs_banked_kernel(rate: str, cheap_q: bool,
+@lru_cache(maxsize=None)
+def _kernel_tables_grouped(rate: str, groups: int):
+    """Grouped (pred-on-lanes) tables for B=7: lane-group g handles
+    predecessors [g*P, (g+1)*P), P = 64/groups; iteration `it` covers
+    pred g*P+it for every group at once. Row it*64+j, lane g*ncols+col
+    packs that group's branch constants (same packing as
+    _kernel_tables), replicated over the ncols channel columns."""
+    geo = bank_geometry(rate)
+    assert geo.cs2 is not None
+    P = NSTATES // groups
+    ncols = LANES // groups
+    tbl = np.zeros((P * NSTATES, LANES), np.int32)
+    for g in range(groups):
+        for it in range(P):
+            k = g * P + it
+            rk = geo.ncs - 1 - geo.cs[0, k]
+            rk2 = geo.ncs - 1 - geo.cs2[0, k]
+            packed = (rk | (rk2 << 8) | (geo.us_hi[0, k] << 16)
+                      | (geo.us_lo[0, k] << 23))
+            for col in range(ncols):
+                tbl[it * NSTATES:(it + 1) * NSTATES,
+                    g * ncols + col] = packed
+    return tbl
+
+
+def _acs_banked_kernel(rate: str, cheap_q: bool, groups: int,
                        tblA_ref, cs_ref, cost_ref,
                        m_in_ref, hi_in_ref, lo_in_ref,
                        m_out_ref, hi_out_ref, lo_out_ref,
@@ -441,10 +466,93 @@ def _acs_banked_kernel(rate: str, cheap_q: bool,
             scratch[ro_out + 128 + g * J:ro_out + 128 + (g + 1) * J] = \
                 new_lo
 
+    ncols_g = LANES // groups
+    P_g = NSTATES // groups
+    log2ncols = ncols_g.bit_length() - 1
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (64, LANES), 0)
+    gbase = (jax.lax.broadcasted_iota(jnp.int32, (64, LANES), 1)
+             >> log2ncols) * P_g
+
+    def block_grouped(t, ro_in, ro_out, want_q, cs_b, c_b):
+        """Pred-on-lanes (B=7, groups > 1): the metric planes are
+        replicated across `groups` lane-groups; each fori step covers
+        one predecessor PER GROUP (static mask extract + full-width
+        table row block), and a circular-roll butterfly all-reduces the
+        unique packed keys so every group ends with the identical
+        winning planes — exact, order-free."""
+        rcs = (ncs - 1) - cs_b
+        cshift = c_b << RB
+        us_mask = jnp.int32(0x7F)
+        BIGc = jnp.full((64, LANES), BIG, jnp.int32)
+        z = jnp.zeros((64, LANES), jnp.int32)
+
+        def body(it, carry):
+            run_key, run_hi, run_lo, run_tc, run_mh = carry
+            mask = rowi == (gbase + it)
+            mkv = jnp.sum(jnp.where(mask, scratch[ro_in:ro_in + 64], 0),
+                          axis=0, keepdims=True)            # [1, N]
+            hkv = jnp.sum(jnp.where(mask,
+                                    scratch[ro_in + 64:ro_in + 128], 0),
+                          axis=0, keepdims=True)
+            lkv = jnp.sum(jnp.where(mask,
+                                    scratch[ro_in + 128:ro_in + 192], 0),
+                          axis=0, keepdims=True)
+            tc = tblA_ref[pl.ds(it * 64, 64), :]             # [64, N]
+            rk = tc & 0xFF
+            rk2 = (tc >> 8) & 0xFF
+            base = mkv << RB
+            p1 = base | rk
+            p2 = base | rk2
+            mh = rk == rcs
+            provk = (base + cshift) | ncs
+            prov = jnp.where(mh | (rk2 == rcs), provk, BIG)
+            key_k = jnp.minimum(jnp.minimum(p1, p2), prov)
+            cond = key_k < run_key
+            return (jnp.where(cond, key_k, run_key),
+                    jnp.where(cond, hkv, run_hi),
+                    jnp.where(cond, lkv, run_lo),
+                    jnp.where(cond, tc, run_tc),
+                    jnp.where(cond, mh.astype(jnp.int32), run_mh))
+
+        run_key, run_hi, run_lo, run_tc, run_mh = jax.lax.fori_loop(
+            0, P_g, body, (BIGc, z, z, z, z))
+        # Butterfly all-reduce across the lane-groups (keys unique).
+        for kk in range(groups.bit_length() - 1):
+            sh = ncols_g << kk
+            ok = pltpu.roll(run_key, shift=sh, axis=1)
+            take = ok < run_key
+            run_key = jnp.where(take, ok, run_key)
+            run_hi = jnp.where(take, pltpu.roll(run_hi, shift=sh,
+                                                axis=1), run_hi)
+            run_lo = jnp.where(take, pltpu.roll(run_lo, shift=sh,
+                                                axis=1), run_lo)
+            run_tc = jnp.where(take, pltpu.roll(run_tc, shift=sh,
+                                                axis=1), run_tc)
+            run_mh = jnp.where(take, pltpu.roll(run_mh, shift=sh,
+                                                axis=1), run_mh)
+        wm = run_key >> RB
+        uh = (run_tc >> 16) & us_mask
+        ul = (run_tc >> 23) & us_mask
+        rank = run_key & jnp.int32((1 << RB) - 1)
+        run_us = jnp.where(rank == ncs,
+                           jnp.where(run_mh != 0, uh, ul),
+                           jnp.where(rank == ((run_tc >> 8) & 0xFF),
+                                     ul, uh))
+        new_hi = (run_hi << nb) | ((run_lo >> (32 - nbits))
+                                   & carry_mask)
+        new_lo = (run_lo << nb) | run_us
+        scratch[ro_out:ro_out + 64] = wm
+        scratch[ro_out + 64:ro_out + 128] = new_hi
+        scratch[ro_out + 128:ro_out + 192] = new_lo
+
     def block(t, ro_in, ro_out, want_q):
         cs_b = cs_ref[t][None, :]                  # [1, N]
         c_b = cost_ref[t][None, :]
 
+        if groups > 1:
+            block_grouped(t, ro_in, ro_out, want_q, cs_b, c_b)
+            _epilogue(t, ro_out, want_q)
+            return
         if _use_fori(geo):
             block_fori(t, ro_in, ro_out, want_q, cs_b, c_b)
             _epilogue(t, ro_out, want_q)
@@ -518,21 +626,29 @@ def _acs_banked_kernel(rate: str, cheap_q: bool,
         lo_out_ref[...] = scratch[128:192]
 
 
-@partial(jax.jit, static_argnames=("rate", "interpret", "cheap_q"))
+@partial(jax.jit, static_argnames=("rate", "interpret", "cheap_q",
+                                   "groups"))
 def viterbi_acs_banked(rate: str, metric, path_hi, path_lo, cs, cost,
-                       interpret=False, cheap_q=False):
+                       interpret=False, cheap_q=False, groups=1):
     """Banked ACS over T = E*P_SUB blocks for a punctured rate.
 
     metric/path_hi/path_lo [64, N] i32; cs/cost [T, N] i32 (N multiple
     of 128; cs carries the full bits_out-bit block symbol, cost the
     summed nshifts softsymbol costs). Returns (metric, hi, lo,
     us [T, N] i32, q [T, N] i32).
+
+    groups > 1 (B=7 only, N == 128): pred-on-lanes — the caller tiles
+    channels across `groups` lane-groups (planes AND cs/cost), and the
+    kernel splits the 64 predecessors across groups with a butterfly
+    key reduction. All groups return identical planes/outputs.
     """
     T, N = cs.shape
     assert T % P_SUB == 0 and N % LANES == 0
+    assert groups == 1 or N == LANES
     nT, nG = T // P_SUB, N // LANES
-    tblA = _kernel_tables(rate)
-    kernel = partial(_acs_banked_kernel, rate, cheap_q)
+    tblA = (_kernel_tables(rate) if groups == 1
+            else _kernel_tables_grouped(rate, groups))
+    kernel = partial(_acs_banked_kernel, rate, cheap_q, groups)
     blk = pl.BlockSpec((P_SUB, LANES), lambda g, i: (i, g),
                        memory_space=pltpu.VMEM)
     st = pl.BlockSpec((64, LANES), lambda g, i: (0, g),

@@ -478,16 +478,49 @@ def viterbi_decode_banked(plan: ViterbiPlan, state, maps,
         cost = cost_a.reshape(T, C * plan.nsyncs)
         ncols = C * plan.nsyncs
 
-    pad = plan.n_lanes - ncols
-    if pad:
-        cs = jnp.pad(cs, ((0, 0), (0, pad)))
-        cost = jnp.pad(cost, ((0, 0), (0, pad)))
+    # Pred-on-lanes for rate 7/8 when the fleet leaves lanes idle
+    # (B=7 is the one all-pred trellis; its 64-row pred sweep dominates
+    # otherwise). slot = next pow2 of the used columns; channels are
+    # tiled across 128/slot lane-groups and the kernel splits the
+    # predecessors across the groups.
+    from .viterbi_banked import LANES as VB_LANES
+    geo_b7 = bits_in == 7
+    slot = 1 << max(0, (ncols - 1)).bit_length()
+    groups = (min(8, VB_LANES // slot)
+              if geo_b7 and plan.n_lanes == VB_LANES and slot <= 64
+              else 1)
+    m_in, h_in, l_in = (state["metric"], state["path_hi"],
+                        state["path_lo"])
+    if groups > 1:
+        def tile(a, fill=0):
+            a = jnp.pad(a, ((0, 0), (0, slot - a.shape[1])),
+                        constant_values=fill)
+            a = jnp.tile(a, (1, groups))
+            return jnp.pad(
+                a, ((0, 0), (0, VB_LANES - a.shape[1])),
+                constant_values=fill)
+        cs = tile(cs[:, :ncols])
+        cost = tile(cost[:, :ncols])
+        m_in = tile(m_in[:, :ncols])
+        h_in = tile(h_in[:, :ncols])
+        l_in = tile(l_in[:, :ncols])
+    else:
+        pad = plan.n_lanes - ncols
+        if pad:
+            cs = jnp.pad(cs, ((0, 0), (0, pad)))
+            cost = jnp.pad(cost, ((0, 0), (0, pad)))
     # cheap_q (the rate-1/2 kernel's 1-in-4 TRACK subsample) is NOT
     # faster for the banked kernel, so TRACK keeps the full per-block
     # discriminant — no cadence approximation for punctured rates.
     m2, h2, l2, us, q = viterbi_acs_banked(
-        plan.rate, state["metric"], state["path_hi"], state["path_lo"],
-        cs, cost, interpret=interpret, cheap_q=False)
+        plan.rate, m_in, h_in, l_in,
+        cs, cost, interpret=interpret, cheap_q=False, groups=groups)
+    if groups > 1:
+        # All groups are identical; keep slot 0 in the stored planes.
+        def detile(a):
+            return jnp.pad(a[:, :slot],
+                           ((0, 0), (0, plan.n_lanes - slot)))
+        m2, h2, l2 = detile(m2), detile(h2), detile(l2)
     us = us[:, :ncols].reshape(T, C, plan.nsyncs)
     q = q[:, :ncols].reshape(T, C, plan.nsyncs)
 
