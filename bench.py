@@ -34,8 +34,13 @@ NCHAN_PEAK = 2048    # demod-kernel sweet spot on v5e
 CH = 1 << 18         # samples per chunk per channel
 
 
-def _chain_bench():
-    """Msamples/s/chip through mf-RRC + demod kernel + device Viterbi."""
+def _chain_bench(rate="1/2", nchan=NCHAN_CHAIN):
+    """Msamples/s/chip through mf-RRC + demod kernel + device Viterbi.
+
+    rate selects the Viterbi path: 1/2 runs the constant-geometry
+    Pallas ACS bank, punctured rates run the banked ACS kernel
+    (fec/viterbi_banked.py, incl. the pred-on-lanes grouped 7/8 mode
+    for small fleets)."""
     import jax
     import jax.numpy as jnp
     from leansdr_tpu.pipelines import tsgen, dvbs_tx
@@ -43,20 +48,22 @@ def _chain_bench():
     from leansdr_tpu.pipelines.multi_rx import MultiDvbsReceiver
 
     # Real DVB-S stimulus so the Viterbi replicas/election do real work.
-    pkts = tsgen.generate(5 * CH // 3264 + 12)
+    num, den = (int(v) for v in rate.split("/"))
+    spp = 1632 * den // num         # samples per RS packet (QPSK, 2sps)
+    pkts = tsgen.generate(5 * CH // spp + 12)
     from leansdr_tpu.pipelines.dvbs_tx_device import device_stimulus
-    y = device_stimulus(pkts)
+    y = device_stimulus(pkts, rate=rate)
 
     rx = MultiDvbsReceiver(
-        RxConfig(Fs=4e6, Fm=2e6, rate="1/2", fastlock=True,
+        RxConfig(Fs=4e6, Fm=2e6, rate=rate, fastlock=True,
                  float_scale=75.0, exact_lut=False, viterbi=True,
                  sampler="rrc"),
-        NCHAN_CHAIN, chunk_samples=CH)
+        nchan, chunk_samples=CH)
     ra = rx.params.readahead + (len(rx.mf_taps) - 1
                                 if rx.mf_taps is not None else 0)
     nwin = 4
     bcast = jax.jit(
-        lambda v: jnp.broadcast_to(v[None], (NCHAN_CHAIN,) + v.shape)
+        lambda v: jnp.broadcast_to(v[None], (nchan,) + v.shape)
         + 0.0)
     wins = [bcast(y[s:s + CH + ra])
             for s in range(0, nwin * CH, CH)]
@@ -83,7 +90,7 @@ def _chain_bench():
         rx.process(wins[_ % nwin])
     run(1)
     marginal = max((run(5) - run(1)) / 4, 1e-9)
-    return NCHAN_CHAIN * CH / marginal / 1e6
+    return nchan * CH / marginal / 1e6
 
 
 def _demod_peak():
@@ -209,6 +216,17 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
     chain = _chain_bench()
+    # Punctured-rate fleet Viterbi (banked ACS kernel): 16-channel
+    # fleets at the reference's most-used high-sensitivity rates.
+    # Real time for 16 x 2 Msps is 32 Msamples/s aggregate.
+    punct = {}
+    for r, key in (("3/4", "chain34"), ("7/8", "chain78")):
+        try:
+            v = _chain_bench(rate=r, nchan=16)
+            punct[f"{key}_viterbi_msps_16ch"] = round(v, 1)
+            punct[f"{key}_realtime_x_16x2msps"] = round(v / 32.0, 2)
+        except Exception as e:
+            punct[f"{key}_error"] = repr(e)[:200]
     peak = _demod_peak()
     try:
         import sys
@@ -234,6 +252,7 @@ def main():
         "unit": "Msamples/s/chip",
         "vs_baseline": round(chain / baseline_msps, 1),
         "demod_kernel_peak_msps_2048ch": round(peak, 1),
+        **punct,
         **sol,
     }))
 

@@ -754,9 +754,20 @@ class MultiViterbiSync:
         # fetched discriminants — one chunk of lag, no extra round
         # trip): enter after `track_after` consecutive decodes with a
         # fleet-wide stable election; leave when any channel's tracked
-        # discriminant falls below a quarter of its entry level.
+        # discriminant falls below HALF its entry level (a persistent
+        # polarity flip leaves the single-replica discriminant at
+        # ~0.35-0.45 of the locked level — measured in
+        # tests/test_election_stress.py — so 0.25 would ride through
+        # it decoding garbage). Belt-and-braces: every `probe_period`
+        # TRACK decodes, re-acquire for one election round — the TPU
+        # analogue of the reference's periodic resync (dvb.h:1386-1394),
+        # which compares all replicas no matter what the tracked
+        # discriminant says. Steady-state cost: ~3/(probe_period+3)
+        # of decodes run all-replica lanes.
         self.track = False
         self.track_after = 2
+        self.probe_period = 32
+        self._track_decodes = 0
         self._want_track = False
         self._last_cur = None
         self._stable = 0
@@ -852,10 +863,14 @@ class MultiViterbiSync:
         cur = discr[:, -1]
         d = discr[:, :-1].mean(axis=1)
         if self.track or self._want_track:
-            if (d < 0.25 * self._entry_d).any():
+            self._track_decodes += 1
+            collapse = (d < 0.5 * self._entry_d).any()
+            probe = self._track_decodes >= self.probe_period
+            if collapse or probe:
                 self._want_track = False
                 self._stable = 0
                 self._last_cur = None
+                self._track_decodes = 0
         else:
             if self._last_cur is not None and (cur == self._last_cur).all():
                 self._stable += 1
