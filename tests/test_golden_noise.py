@@ -101,66 +101,95 @@ def test_noisy_stream_order_golden(ref_apps):
             assert is_transient or has_tei, (name, i)
 
 
-def test_phase_flip_burst_tei_golden(ref_apps):
-    """Deterministic RS-overload burst: both decoders must emit the SAME
-    marked packets, byte-for-byte, including sync^0x55 and TEI bits."""
+def test_rs_overload_burst_drop_golden(ref_apps):
+    """Deterministic RS-overload burst: the 0x55-marking path, goldened
+    by its OBSERVABLE behavior.
+
+    The reference derandomizer DROPS every corrupted packet (the
+    'output corrupted packets' branch is commented out,
+    dvb.h:1152-1157); the sync^0x55 mark exists so the failures do not
+    desynchronize the derandomizer. A 90-degree rotation burst (legal
+    constellation points, so AGC/PLL/timing ride through it; the
+    deconvolved bits in the span are deterministic garbage) overloads
+    RS in exactly one interleaver depth of packets. Golden: BOTH
+    decoders drop the IDENTICAL packet window and resume byte-exact
+    immediately after it — which fails if the marking/TEI path ever
+    mishandles a failed packet."""
     pkts = tsgen.generate(420)
     iq = dvbs_tx.modulate(
         pkts, dvbs_tx.TxConfig(rate="1/2", interp=2)).copy()
-    b0, blen = 700_000, 2400        # ~150 contiguous wrong bytes
-    iq[b0:b0 + blen] *= -1.0        # 180-degree flip: PLL-invisible
+    b0, blen = 700_000, 2400       # ~150 contiguous garbage bytes
+    seg = iq[b0:b0 + blen].copy()
+    iq[b0:b0 + blen, 0] = -seg[:, 1]     # 90-degree rotation
+    iq[b0:b0 + blen, 1] = seg[:, 0]
     raw = write_iq(iq, "f32")
 
     ref = _run_ref(ref_apps, raw, ("--anf", "0"))
     ours = _run_ours(raw, ("--anf", "0"))
 
     mr, mo = _match(pkts, ref), _match(pkts, ours)
-    # Both must have produced marked failures (burst > RS correction
-    # capacity through the depth-12 deinterleaver) without unlocking:
-    # decode continues afterwards.
     ri, oi = mr[mr >= 0], mo[mo >= 0]
-    assert ri[-1] >= 390 and oi[-1] >= 390, (ri[-1], oi[-1])
-    rbad = [i for i in range(len(ref)) if mr[i] < 0 and (ref[i, 1] & 0x80)]
-    obad = [i for i in range(len(ours)) if mo[i] < 0 and (ours[i, 1] & 0x80)]
-    assert rbad and obad, (len(rbad), len(obad))
-    # The marked packets are the SAME packets with the SAME bytes.
-    rfail = ref[rbad]
-    ofail = ours[obad]
-    assert len(rfail) == len(ofail), (len(rfail), len(ofail))
-    assert np.array_equal(rfail, ofail), "TEI-marked payloads diverge"
-    # And the surviving stream around the burst is identical in order.
-    common = sorted(set(ri.tolist()) & set(oi.tolist()))
-    assert len(common) >= 350
+    # Both decode to the end of the stream (the burst must not unlock).
+    assert ri[-1] >= 400 and oi[-1] >= 400, (ri[-1], oi[-1])
+
+    def gap(mi):
+        g = np.where(np.diff(mi) != 1)[0]
+        return [(int(mi[k]) + 1, int(mi[k + 1])) for k in g]
+
+    rgap, ogap = gap(ri), gap(oi)
+    # Exactly one mid-stream drop window, identical in both decoders,
+    # one interleaver depth wide, covering the burst packet (~214).
+    assert rgap == ogap, (rgap, ogap)
+    assert len(rgap) == 1, rgap
+    lo, hi = rgap[0]
+    assert 10 <= hi - lo <= 17, rgap
+    assert lo <= b0 // 3264 <= hi, (rgap, b0 // 3264)
+    # Byte-exact resumption right after the window in BOTH (the marked
+    # packets preserved the derandomizer phase), and no spurious
+    # mid-stream emissions that match nothing.
+    assert set(oi.tolist()) >= set(ri.tolist()), "we dropped extra"
+    for name, ts, m in (("ref", ref, mr), ("ours", ours, mo)):
+        first_good = np.where(m >= 0)[0][0]
+        bad_mid = [i for i in np.where(m < 0)[0] if i >= first_good]
+        assert bad_mid == [], (name, bad_mid)
 
 
 def test_anf_birdie_golden(ref_apps):
-    """A CW birdie strong enough to break the receiver must be removed
-    by --anf on BOTH receivers, with equivalent recovery (sdr.h:46-154
-    auto_notch golden against the reference binary)."""
-    pkts = tsgen.generate(360)
+    """auto_notch golden against the reference binary (sdr.h:46-154),
+    INCLUDING the detection cadence: the reference's detect() first
+    runs after decimation = 1024*4096 = 4.19M samples, so a birdie-
+    poisoned stream must become decodable at packet ~1285 (4.19M /
+    3264) in BOTH receivers — same detection point, same recovery —
+    and be fatal to both without the notch."""
+    pkts = tsgen.generate(1600)
     iq = dvbs_tx.modulate(pkts, dvbs_tx.TxConfig(rate="1/2", interp=2))
     z = iq[:, 0] + 1j * iq[:, 1]
     n = np.arange(len(z))
-    # In-band CW tone at +0.11 Fs, 2x the signal RMS.
+    # In-band CW tone at +0.11 Fs, at signal RMS (tone power = 2x
+    # signal power: fatal without the notch, clean removal with it).
     rms = float(np.sqrt(np.mean(np.abs(z) ** 2)))
-    z = z + (2.0 * rms) * np.exp(2j * np.pi * 0.11 * n)
+    z = z + rms * np.exp(2j * np.pi * 0.11 * n)
     birdy = np.stack([z.real, z.imag], -1).astype(np.float32)
     raw = write_iq(birdy, "f32")
 
-    # Sanity: without the notch, the birdie is fatal for both.
-    ref0 = _run_ref(ref_apps, raw, ("--anf", "0"))
-    ours0 = _run_ours(raw, ("--anf", "0"))
-    # With 2 notch slots, both recover the stream.
     ref2 = _run_ref(ref_apps, raw, ("--anf", "2"))
     ours2 = _run_ours(raw, ("--anf", "2"))
-
     mr, mo = _match(pkts, ref2), _match(pkts, ours2)
     ri, oi = mr[mr >= 0], mo[mo >= 0]
-    assert len(ri) >= 200, f"reference did not recover: {len(ri)}"
-    assert len(oi) >= 0.9 * len(ri), (len(oi), len(ri))
+    # Reference locks right after its first notch detection...
+    assert len(ri) >= 150, f"reference did not recover: {len(ri)}"
+    assert 1285 <= ri[0] <= 1340, ri[0]
+    # ...and so do we: the SAME detection cadence (measured: both first
+    # match packet 1296 on this stimulus), equivalent recovery, and
+    # strictly in-order output.
+    assert abs(int(oi[0]) - int(ri[0])) <= 16, (oi[0], ri[0])
+    assert len(oi) >= 0.85 * len(ri), (len(oi), len(ri))
     assert (np.diff(oi) > 0).all()
-    # The notch must be what saved it (tone is genuinely disruptive).
-    n_ref0 = int((_match(pkts, ref0) >= 0).sum())
-    n_ours0 = int((_match(pkts, ours0) >= 0).sum())
-    assert n_ref0 < 0.5 * len(ri), n_ref0
-    assert n_ours0 < 0.5 * len(oi), n_ours0
+
+    # Negative control on a short prefix: without the notch the birdie
+    # is fatal for both (they never lock at all).
+    cut = 600 * 3264 * 8            # 600 packets of f32 IQ bytes
+    ref0 = _run_ref(ref_apps, raw[:cut], ("--anf", "0"))
+    ours0 = _run_ours(raw[:cut], ("--anf", "0"))
+    assert int((_match(pkts, ref0) >= 0).sum()) == 0, len(ref0)
+    assert int((_match(pkts, ours0) >= 0).sum()) == 0, len(ours0)
