@@ -73,14 +73,16 @@ def run_point(ratio: str, snrtarget: float, opts: dict,
     rx = DvbsReceiver(cfg)
     CH = 1 << 17
     vber_samples = []
+    locktime_max = 0
     for i in range(0, len(iq), CH):
         rx.process(iq[i:i + CH])
+        locktime_max = max(locktime_max, rx.locktime)
         if rx.vbitcount >= 50000:
             vber_samples.append(rx.vber)
         if rx.locktime >= minpackets:
             break
     if rx.locktime < minpackets:
-        return None
+        return {"locktime_max": locktime_max} if locktime_max else None
     vber_samples = vber_samples or [rx.vber]
     return {
         "cnr": rx.meas["cnr"][-1] if rx.meas["cnr"] else 0.0,
@@ -88,6 +90,7 @@ def run_point(ratio: str, snrtarget: float, opts: dict,
         "mer": rx.meas["mer"][-1] if rx.meas["mer"] else 0.0,
         "vbermin": min(vber_samples),
         "vbermax": max(vber_samples),
+        "locktime_max": locktime_max,
     }
 
 
@@ -105,7 +108,7 @@ def _run_ref_point(iq, samprate, symbrate, float_scale, opts, minpackets):
     p = subprocess.run(cmd, input=write_iq(iq, "f32"),
                        capture_output=True)
     state = {"cnr": 0.0, "ss": 0.0, "mer": 0.0,
-             "vbermin": 1e9, "vbermax": 0.0}
+             "vbermin": 1e9, "vbermax": 0.0, "locktime_max": 0}
     success = False
     for line in p.stderr.decode(errors="replace").splitlines():
         parts = line.split()
@@ -118,11 +121,16 @@ def _run_ref_point(iq, samprate, symbrate, float_scale, opts, minpackets):
             state["vbermax"] = max(state["vbermax"], v)
         elif tag in ("CNR", "SS", "MER"):
             state[tag.lower()] = float(arg)
-        elif tag == "LOCKTIME" and int(arg) >= minpackets:
-            success = True
+        elif tag == "LOCKTIME":
+            state["locktime_max"] = max(state["locktime_max"], int(arg))
+            if int(arg) >= minpackets:
+                success = True
     if state["vbermin"] > 1e8:      # locked but no VBER lines parsed
         success = False
-    return state if success else None
+    if not success:
+        return ({"locktime_max": state["locktime_max"]}
+                if state["locktime_max"] else None)
+    return state
 
 
 def main():
@@ -149,8 +157,13 @@ def main():
                 continue
             r = run_point(ratio, snr, opts, npackets=args.npackets,
                           use_ref=args.ref)
-            if r is None:
-                print(f"{name} snr={snr}: no lock")
+            if r is None or "vbermin" not in r:
+                lt = (r or {}).get("locktime_max", 0)
+                msg = (f"{name} snr={snr}: no lock"
+                       f" (max continuous locktime {lt} packets)")
+                print(msg)
+                rows.append(f"# {platform} {float(Fraction(ratio)):.2f} "
+                            f"{snr:.2f} NOLOCK locktime_max={lt}")
                 continue
             row = (f"git:{commit} {platform} {float(Fraction(ratio)):.2f} "
                    f"{snr:.2f} {r['cnr']} {r['ss']} {r['mer']} "
