@@ -24,7 +24,7 @@ def test_two_process_mesh_demod():
     env["JAX_PLATFORMS"] = "cpu"
     r = subprocess.run(
         [sys.executable, str(REPO / "tools" / "dcn_demo.py")],
-        capture_output=True, text=True, timeout=480, env=env,
+        capture_output=True, text=True, timeout=900, env=env,
         cwd=str(REPO))
     assert r.returncode == 0, r.stdout + r.stderr
     lines = [json.loads(l) for l in r.stdout.splitlines()
@@ -35,4 +35,11 @@ def test_two_process_mesh_demod():
         assert res["global_devices"] == 8
         assert res["fleet_symbols_psum"] > 0
         assert res["fleet_mer_pmean_db"] > 9.0   # demodulating, not noise
+        # Stage 2: the production fleet decode with per-host ingest and
+        # per-host native byte backends produced payload-verified TS.
+        assert res["fleet_decode_backend"] == "NativeByteBackend"
+        assert res["fleet_ts_decoded"] >= 64
+        assert res["fleet_ts_verified"] >= 32
+        assert res["fleet_aggregate_msps_cpu"] > 0
     assert lines[0]["fleet_symbols_psum"] == lines[1]["fleet_symbols_psum"]
+    assert lines[0]["fleet_ts_decoded"] == lines[1]["fleet_ts_decoded"]
