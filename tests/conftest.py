@@ -64,6 +64,25 @@ def ref_apps():
 
 
 @pytest.fixture(scope="session")
+def ref_mlmrx(ref_apps):
+    """The reference leanmlmrx binary, built against tests/fftw_shim
+    (the container has no libfftw3f; the shim implements the 6 fftwf_*
+    symbols leanmlmrx.cc uses with a radix-2 FFT)."""
+    binary = ref_apps / "leanmlmrx"
+    if binary.exists():
+        return binary
+    shim = REPO / "tests" / "fftw_shim"
+    r = subprocess.run(
+        ["g++", "-O2", "-I", str(shim), "-I", str(REF_BUILD / "src"),
+         str(ref_apps / "leanmlmrx.cc"), str(shim / "fftw_shim.c"),
+         "-lpthread", "-lm", "-o", str(binary)],
+        capture_output=True, text=True)
+    if r.returncode != 0:
+        pytest.skip(f"leanmlmrx build failed: {r.stderr[-300:]}")
+    return binary
+
+
+@pytest.fixture(scope="session")
 def golden_dir(ref_apps):
     """Generate golden stimulus/output files once per session."""
     GOLDEN.mkdir(exist_ok=True)

@@ -44,3 +44,67 @@ def test_squelch_mutes_dead_channel():
          ).astype(np.complex64) * 100
     au = rx.process(x).astype(np.float64)
     assert np.abs(au).mean() < 5
+
+
+def test_mlmrx_golden_vs_reference_binary(ref_mlmrx):
+    """Golden against the reference leanmlmrx binary (built with
+    tests/fftw_shim since the container lacks libfftw3f): identical
+    synthetic 2-carrier FM capture through both CLIs; the mixed mono
+    audio streams must be near-identical (channelizer weight matrix,
+    discriminator, de-emphasis, audio decimation — leanmlmrx.cc:
+    575-626, 686-745), and a muted '(...)' channel's tone must be
+    absent from BOTH."""
+    import subprocess
+    import sys
+
+    fs = 25.6e6
+    dur = 0.4
+    t = np.arange(int(fs * dur)) / fs
+
+    def fm(foff, fmod, dev=75e3, amp=8000):
+        ph = (2 * np.pi * foff * t
+              + dev / fmod * (1 - np.cos(2 * np.pi * fmod * t)))
+        return amp * np.exp(1j * ph)
+
+    # Carriers at +-800 kHz (demodulated) and +1.6 MHz (present in the
+    # capture but MUTED via '(...)' channel syntax).
+    z = fm(800e3, 1000) + fm(-800e3, 2500) + fm(1.6e6, 3700)
+    iq = np.empty((len(t), 2), np.int16)
+    iq[:, 0] = np.round(z.real)
+    iq[:, 1] = np.round(z.imag)
+    args = ["--fs", "25.6e6", "--fc", "100e6", "-N", "64",
+            "--fa", "44100", "100.8", "99.2", "(101.6)"]
+
+    r_ref = subprocess.run([str(ref_mlmrx)] + args, input=iq.tobytes(),
+                           capture_output=True, check=True)
+    r_our = subprocess.run(
+        [sys.executable, "-m", "leansdr_tpu.apps.leanmlmrx"] + args,
+        input=iq.tobytes(), capture_output=True, check=True)
+    a = np.frombuffer(r_ref.stdout, np.int8).astype(np.float32)
+    b = np.frombuffer(r_our.stdout, np.int8).astype(np.float32)
+    m = min(len(a), len(b))
+    assert m > 8000, (len(a), len(b))
+    a, b = a[:m], b[:m]
+    assert abs(a.std() - b.std()) < 0.1 * a.std(), (a.std(), b.std())
+
+    # Peak normalized correlation over a small lag search (the two
+    # pipelines have slightly different startup transients).
+    mid = slice(m // 4, 3 * m // 4)
+    best = max(float(np.corrcoef(a[mid], np.roll(b, lag)[mid])[0, 1])
+               for lag in range(-40, 41))
+    assert best > 0.99, best
+
+    # Spectral golden: both carry the 1 kHz and 2.5 kHz tones; the
+    # muted channel's 3.7 kHz tone appears in NEITHER.
+    for name, au in (("ref", a), ("ours", b)):
+        seg = au[mid] * np.hanning(mid.stop - mid.start)
+        sp = np.abs(np.fft.rfft(seg))
+        f = np.fft.rfftfreq(len(seg), 1 / 44100)
+
+        def level(freq):
+            return sp[(np.abs(f - freq) < 30)].max()
+
+        floor = np.median(sp)
+        assert level(1000) > 50 * floor, name
+        assert level(2500) > 50 * floor, name
+        assert level(3700) < 10 * floor, name
