@@ -318,3 +318,65 @@ class BatchedFirFilter:
             jnp.asarray(buf)))
         self.hist = buf[:, count * self.decim:]
         return out
+
+
+# -- single-channel adapters -------------------------------------------------
+#
+# The single-channel CLI (pipelines/dvbs_rx.DvbsReceiver) reuses the
+# batched device implementations above through complex-stream adapters,
+# so on TPU the CLI and the fleet run the SAME preprocessing code (the
+# host dsp/blocks.py variants remain the CPU path and the parity
+# reference).
+
+def _c2p(z):
+    return np.stack([z.real, z.imag], -1).astype(np.float32)[None]
+
+
+class AutoNotch1:
+    """blocks.AutoNotch interface over BatchedAutoNotch(nchan=1)."""
+
+    def __init__(self, nslots: int, agc_rms_setpoint: float = 0.0):
+        self.b = BatchedAutoNotch(1, nslots, agc_rms_setpoint)
+
+    def process(self, z: np.ndarray) -> np.ndarray:
+        y = self.b.process(_c2p(np.asarray(z, np.complex64)))[0]
+        return (y[:, 0] + 1j * y[:, 1]).astype(np.complex64)
+
+
+class CnrFft1:
+    """blocks.CnrFft interface over BatchedCnrFft(nchan=1)."""
+
+    def __init__(self, bandwidth: float):
+        self.b = BatchedCnrFft(1, bandwidth)
+
+    @property
+    def decimation(self):
+        return self.b.decimation
+
+    @decimation.setter
+    def decimation(self, v):
+        self.b.decimation = v
+
+    def process(self, z, freq_tap: float = 0.0):
+        vs = self.b.process(_c2p(np.asarray(z, np.complex64)),
+                            np.asarray([freq_tap], np.float32))
+        return [float(v[0]) for v in vs]
+
+
+class Spectrum1:
+    """blocks.Spectrum interface over BatchedSpectrum(nchan=1)."""
+
+    def __init__(self):
+        self.b = BatchedSpectrum(1)
+
+    @property
+    def decimation(self):
+        return self.b.decimation
+
+    @decimation.setter
+    def decimation(self, v):
+        self.b.decimation = v
+
+    def process(self, z):
+        return [line[0] for line in
+                self.b.process(_c2p(np.asarray(z, np.complex64)))]

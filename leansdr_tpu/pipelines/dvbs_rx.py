@@ -198,15 +198,28 @@ class DvbsReceiver:
         self.cstln = cstln
 
         # ---- preprocessing chain (leandvb.cc:277-399) ----
+        # On an accelerator the single-channel CLI uses the SAME batched
+        # device implementations as the fleet (dsp/blocks_device.py,
+        # nchan=1 adapters); the host dsp/blocks.py variants are the CPU
+        # path and the parity reference (tests/test_blocks_device.py).
         from ..dsp import blocks, filtergen
+        import jax
+        if jax.default_backend() != "cpu":
+            from ..dsp import blocks_device as bd
+            mk_notch = bd.AutoNotch1
+            mk_cnr = bd.CnrFft1
+            mk_spec = bd.Spectrum1
+        else:
+            mk_notch, mk_cnr, mk_spec = (blocks.AutoNotch, blocks.CnrFft,
+                                         blocks.Spectrum)
         self.noise_draws = 0
-        self.notch = (blocks.AutoNotch(cfg.anf, 0.0) if cfg.anf else None)
+        self.notch = (mk_notch(cfg.anf, 0.0) if cfg.anf else None)
         self.derot = (blocks.Rotator(-cfg.Fderot / cfg.Fs)
                       if cfg.Fderot else None)
-        self.cnr_est = (blocks.CnrFft(cfg.Fm / cfg.Fs) if cfg.cnr else None)
+        self.cnr_est = (mk_cnr(cfg.Fm / cfg.Fs) if cfg.cnr else None)
         if self.cnr_est:
             self.cnr_est.decimation = max(int(cfg.Fs), 1)   # ~1 Hz
-        self.spectrum = (blocks.Spectrum() if cfg.want_spectrum else None)
+        self.spectrum = (mk_spec() if cfg.want_spectrum else None)
         if self.spectrum:
             self.spectrum.decimation = max(int(cfg.Fs), 1)
 

@@ -113,3 +113,42 @@ def test_multi_rx_taps_and_spectrum():
     assert len(rx.cnr) > 0 and rx.cnr[0].shape == (nchan,)
     assert len(rx.spectrum_lines) > 0
     assert rx.spectrum_lines[0].shape == (nchan, 1024)
+
+
+def test_single_channel_adapters_match_host():
+    """The nchan=1 adapters (AutoNotch1/CnrFft1/Spectrum1) that the
+    single-channel CLI uses on accelerators behave like the host
+    dsp/blocks.py implementations on the same complex stream."""
+    n = 6 * 4096
+    z = _streams(1, n)[0]
+    tone = 0.35 * np.exp(2j * np.pi * 0.07 * np.arange(n)).astype(
+        np.complex64)
+    zt = (z + tone).astype(np.complex64)
+
+    a1 = blocks_device.AutoNotch1(1)
+    a1.b.decimation = 4096
+    ah = blocks.AutoNotch(1, decimation=4096)
+    out1 = a1.process(zt)
+    outh = ah.process(zt)
+    assert a1.b.slot_i[0, 0] == ah.slot_i[0]
+    m = min(len(out1), len(outh))
+    assert m >= 4 * 4096
+    np.testing.assert_allclose(out1[:m], outh[:m], atol=2e-2)
+
+    c1 = blocks_device.CnrFft1(0.2)
+    c1.decimation = 4096
+    ch = blocks.CnrFft(0.2)
+    ch.decimation = 4096
+    v1 = c1.process(zt, 0.07)
+    vh = [float(v) for v in ch.process(zt, 0.07)]
+    assert len(v1) == len(vh) >= 4
+    np.testing.assert_allclose(v1, vh, atol=0.2)
+
+    s1 = blocks_device.Spectrum1()
+    s1.decimation = 1024
+    sh = blocks.Spectrum()
+    sh.decimation = 1024
+    l1 = s1.process(zt)
+    lh = sh.process(zt)
+    assert len(l1) == len(lh) >= 4
+    np.testing.assert_allclose(np.stack(l1), np.stack(lh), atol=0.5)
