@@ -43,6 +43,9 @@ def usage(code=0, f=sys.stderr):
         "  --no-exact-lut          Computed decisions / Mosaic kernel "
         "(default on TPU)\n"
         "  --fastlock              Synchronize more aggressively\n"
+        "  --acq                   FFT coarse carrier search on the\n"
+        "                          first chunk seeds --tune (additive\n"
+        "                          accelerator; not in the reference)\n"
         "  --viterbi               Use Viterbi decoding\n"
         "  --hq                    --fastlock --viterbi --sampler rrc\n"
         "\nUI options:\n"
@@ -63,7 +66,7 @@ def parse_args(argv):
         "input": "u8", "loop": False, "fd_info": -1, "fd_const": -1,
         "fd_spectrum": -1, "json": False, "verbose": False, "debug": False,
         "hs": False, "hdlc": False, "packetized": False, "buf_factor": 4,
-        "Finfo": 5.0, "standard": "DVB-S",
+        "Finfo": 5.0, "standard": "DVB-S", "acq": False,
     }
     i = 0
     while i < len(argv):
@@ -128,6 +131,8 @@ def parse_args(argv):
             opts["buf_factor"] = int(val())
         elif a == "--inpipe" or a == "--inbuf":
             val()   # accepted, no-op (host buffering is adaptive)
+        elif a == "--acq":
+            opts["acq"] = True
         elif a == "--gui" or a == "--linger" or a == "--filler":
             pass    # GUI replaced by the fd-info/const/spectrum streams
         elif a == "--nhelpers":
@@ -232,6 +237,22 @@ def main(argv=None):
             break
         nitems = len(raw) // itemsize * itemsize
         iq = read_iq(raw[:nitems], opts["input"])
+        if opts["acq"]:
+            # FFT coarse carrier search (dsp/acquisition.py): estimate
+            # the offset on the first chunk and rebuild the receiver
+            # with --tune seeded, so the PLL clamp window is centered on
+            # the actual carrier. Additive accelerator — the reference
+            # has no coarse search (SURVEY.md section 6).
+            opts["acq"] = False
+            from ..dsp.acquisition import coarse_carrier_estimate
+            m = rx.cstln.nsymbols
+            m = m if m in (2, 4, 8) else 4
+            est = coarse_carrier_estimate(iq, msymbols=m)
+            cfg.Ftune += est * cfg.Fs
+            if opts["verbose"]:
+                print(f"coarse acquisition: {est * cfg.Fs:+.0f} Hz",
+                      file=sys.stderr)
+            rx = DvbsReceiver(cfg)
         ts = rx.process(iq)
         if cfg.hdlc:
             frames = getattr(rx, "hdlc_frames", None)

@@ -35,6 +35,9 @@ def usage(code=0, f=sys.stderr):
         "--float-scale F, -f FREQ\n"
         "DVB-S: --sr HZ --cr N/D --sampler S --viterbi --hq --fastlock\n"
         "       --exact-lut/--no-exact-lut --const C --tune FREQ\n"
+        "       --acq   per-channel FFT coarse carrier search on the\n"
+        "               first chunk; each channel is derotated by its\n"
+        "               estimate (accelerator; not in the reference)\n"
         "Output: --out-template PATTERN   per-channel files (printf-style"
         " %d)\n"
         "        (default: tagged multiplex [u32 chan][u32 npkts][TS] on"
@@ -50,7 +53,7 @@ def parse_args(argv):
 
     cfg = RxConfig()
     opts = {"input": "f32", "nchan": 0, "out_template": None,
-            "fd_info": -1, "chunk": 1 << 16}
+            "fd_info": -1, "chunk": 1 << 16, "acq": False}
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -70,6 +73,8 @@ def parse_args(argv):
             opts["out_template"] = val()
         elif a == "--fd-info":
             opts["fd_info"] = int(val())
+        elif a == "--acq":
+            opts["acq"] = True
         elif a in ("--u8", "--s8", "--u16", "--s16", "--f32"):
             opts["input"] = a[2:]
         elif handle_dvbs_flag(a, val, cfg):
@@ -143,7 +148,31 @@ def main(argv=None):
             break
         a = np.frombuffer(raw[:n * frame_bytes], dtype=dtype)
         iq = tofloat(a).reshape(n, nchan, 2).transpose(1, 0, 2)
-        emit(rx.submit(np.ascontiguousarray(iq)))
+        iq = np.ascontiguousarray(iq)
+        if opts["acq"]:
+            # Per-channel FFT coarse carrier search on the first chunk
+            # (dsp/acquisition.py); each channel is then DEROTATED by
+            # its estimate at ingest, which re-centers every carrier in
+            # the shared PLL clamp window without per-channel clamp
+            # state. Accelerator beyond the reference (SURVEY.md sec 6).
+            opts["acq"] = False
+            from ..dsp.acquisition import coarse_carrier_estimate
+            from ..dsp.blocks import Rotator
+            m = rx.cstln.nsymbols
+            m = m if m in (2, 4, 8) else 4
+            derots = []
+            for c in range(nchan):
+                est = coarse_carrier_estimate(iq[c], msymbols=m)
+                derots.append(Rotator(-est) if abs(est) > 1e-4 else None)
+            opts["derots"] = derots
+        if opts.get("derots"):
+            for c, rot in enumerate(opts["derots"]):
+                if rot is None:
+                    continue
+                z = rot.process(iq[c, :, 0] + 1j * iq[c, :, 1])
+                iq[c, :, 0] = z.real
+                iq[c, :, 1] = z.imag
+        emit(rx.submit(iq))
         # Info at ~1 Hz: metrics() fetches device state and would
         # otherwise serialize the submit() pipeline every chunk.
         if info and time.monotonic() >= next_info:

@@ -190,3 +190,73 @@ def test_leandvbtx_fill_live_pipe():
     numbered = ~blanks
     assert blanks.sum() >= 5, "fill never engaged"
     assert numbered.sum() >= 10, "source packets lost"
+
+
+def test_leandvb_acq_flag_locks_beyond_pll_range():
+    """--acq (FFT coarse carrier search, dsp/acquisition.py) at the CLI
+    surface: an 8% Fs (320 kHz) carrier offset is far beyond the
+    +-SR/8 = 250 kHz PLL clamp, so the
+    plain receiver decodes nothing, while --acq seeds --tune from the
+    first chunk and decodes the stream."""
+    from leansdr_tpu.pipelines import tsgen, dvbs_tx
+    from leansdr_tpu.dsp.blocks import Rotator
+    from leansdr_tpu.util.iofmt import write_iq
+
+    pkts = tsgen.generate(170)
+    iq = dvbs_tx.modulate(pkts, dvbs_tx.TxConfig(rate="1/2", interp=2))
+    z = Rotator(0.08).process(iq[:, 0] + 1j * iq[:, 1])
+    raw = write_iq(np.stack([z.real, z.imag], -1).astype(np.float32)
+                   * np.float32(75.0), "f32")
+
+    def run(extra):
+        r = subprocess.run(
+            [sys.executable, "-m", "leansdr_tpu.apps.leandvb", "--f32",
+             "-f", "4e6", "--sr", "2e6", "--anf", "0", "--fastlock",
+             *extra],
+            input=raw, capture_output=True, timeout=600, env=ENV,
+            cwd=str(REPO), check=True)
+        ts = np.frombuffer(r.stdout, np.uint8).reshape(-1, 188)
+        return sum(1 for o in ts if (pkts == o).all(axis=1).any())
+
+    assert run([]) == 0
+    assert run(["--acq"]) >= 80
+
+
+def test_leandvbfleet_acq_per_channel_offsets():
+    """Fleet --acq: per-channel coarse estimates derotate each carrier
+    at ingest; two channels with opposite out-of-clamp offsets both
+    decode."""
+    from leansdr_tpu.pipelines import tsgen, dvbs_tx
+    from leansdr_tpu.dsp.blocks import Rotator
+
+    offs = [0.08, -0.07]
+    pkts, chans = [], []
+    for c, off in enumerate(offs):
+        p = tsgen.generate(150, start=900 * c)
+        pkts.append(p)
+        iq = dvbs_tx.modulate(p, dvbs_tx.TxConfig(rate="1/2", interp=2))
+        z = Rotator(off).process(iq[:, 0] + 1j * iq[:, 1])
+        chans.append(np.stack([z.real, z.imag], -1).astype(np.float32))
+    n = min(map(len, chans))
+    frames = np.stack([q[:n] for q in chans]).transpose(1, 0, 2)
+
+    r = subprocess.run(
+        [sys.executable, "-m", "leansdr_tpu.apps.leandvbfleet",
+         "--nchan", "2", "--f32", "--float-scale", "75", "-f", "4e6",
+         "--sr", "2e6", "--cr", "1/2", "--fastlock", "--acq",
+         "--chunk", "16384"],
+        input=frames.astype(np.float32).tobytes(), capture_output=True,
+        timeout=600, env=ENV, cwd=str(REPO), check=True)
+    # Parse the tagged multiplex, verify payloads per channel.
+    buf = r.stdout
+    got = [0, 0]
+    o = 0
+    while o + 8 <= len(buf):
+        c, npk = np.frombuffer(buf[o:o + 8], np.uint32)
+        o += 8
+        ts = np.frombuffer(buf[o:o + npk * 188], np.uint8
+                           ).reshape(-1, 188)
+        o += npk * 188
+        got[c] += sum(1 for t in ts
+                      if (pkts[c] == t).all(axis=1).any())
+    assert got[0] >= 40 and got[1] >= 40, got
