@@ -84,7 +84,8 @@ def test_coarse_carrier_acquisition_beyond_pll_range():
 
     pkts = tsgen.generate(160)
     iq = dvbs_tx.modulate(pkts, dvbs_tx.TxConfig(rate="1/2", interp=2))
-    # Shift by 3% of Fs — far beyond the +-SR/8 clamp.
+    # Shift by 3% of Fs (120 kHz; estimator-accuracy check — the CLI
+    # test in test_apps_cli.py covers a beyond-clamp 8% offset).
     offset = 0.03
     rot = Rotator(offset)
     z = rot.process(iq[:, 0] + 1j * iq[:, 1])
