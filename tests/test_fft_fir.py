@@ -28,6 +28,26 @@ def test_fir_pallas_matches_convolve():
     np.testing.assert_allclose(y, ref, atol=1e-4)
 
 
+@pytest.mark.parametrize("nt", [33, 65, 129])
+def test_fir_mxu_matches_convolve(nt):
+    """MXU banded-matmul FIR (dsp/fir_mxu.py) vs np.convolve, spanning
+    several 128-output blocks, including the max band width (129)."""
+    from leansdr_tpu.dsp.fir_mxu import fir_mxu
+    rng = np.random.default_rng(7)
+    R, n = 8, 4 * 1024
+    x = rng.normal(size=(R, n)).astype(np.float32)
+    taps = tuple(np.hanning(nt).astype(np.float32).tolist())
+    y = np.asarray(fir_mxu(jnp.asarray(x), taps))
+    ref = np.stack([np.convolve(r, np.array(taps))[:n] for r in x])
+    np.testing.assert_allclose(y, ref, atol=1e-3)
+
+
+def test_fir_mxu_band_limit():
+    from leansdr_tpu.dsp.fir_mxu import make_bands
+    with pytest.raises(AssertionError):
+        make_bands(np.ones(130, np.float32))
+
+
 def test_cfir_pallas_matches_convolve():
     """Complex-tap kernel (SMEM taps) vs a complex np.convolve, large
     enough to cross several time blocks and exercise the halo."""

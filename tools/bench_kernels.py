@@ -88,23 +88,29 @@ def bench_fir():
     C, n = 64, 1 << 18
     taps = filtergen.root_raised_cosine(64, 0.25, 0.35)
     nt = len(taps)
-    k = jnp.asarray(taps.reshape(1, 1, nt))
 
-    from leansdr_tpu.dsp.fir_pallas import fir_pallas
+    from leansdr_tpu.dsp.fir_mxu import fir_mxu
     tt = tuple(float(v) for v in taps)
-
-    @jax.jit
-    def fir(x):
-        # One-pass streaming FIR in VMEM (leansdr_tpu/dsp/fir_pallas.py).
-        return fir_pallas(x, tt)
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(C * 2, n)).astype(np.float32))
-    dt = marginal_time(fir, x)
+    # Headline: the MXU banded-matmul kernel at f32-grade precision
+    # (dsp/fir_mxu.py) — the fast path for real-tap batched FIRs.
+    dt = marginal_time(
+        jax.jit(lambda a: fir_mxu(a, tt, precision="highest")), x)
+    # Throughput mode (bf16 multiplies) and the streaming Pallas
+    # kernel (dsp/fir_pallas.py, VPU-bound at this tap count), for the
+    # record.
+    dt_bf16 = marginal_time(
+        jax.jit(lambda a: fir_mxu(a, tt, precision="default")), x)
+    from leansdr_tpu.dsp.fir_pallas import fir_pallas
+    dt_vpu = marginal_time(jax.jit(lambda a: fir_pallas(a, tt)), x)
     flops = 2 * C * 2 * n * nt
     bytes_moved = 2 * C * 2 * n * 4
     sol = bytes_moved / dt / HBM_PEAK
     assert sol <= 1.5, f"impossible SoL {sol}: measurement collapsed"
+    assert bytes_moved / dt_bf16 / HBM_PEAK <= 1.5
+    assert bytes_moved / dt_vpu / HBM_PEAK <= 1.5
     return {
         "kernel": "rrc_fir",
         "samples_per_s": round(C * n / dt / 1e6, 1),
@@ -112,6 +118,10 @@ def bench_fir():
         "gbps": round(bytes_moved / dt / 1e9, 1),
         "sol_hbm_fraction": round(bytes_moved / dt / HBM_PEAK, 3),
         "sol_mxu_fraction": round(flops / dt / MXU_PEAK_F32, 4),
+        "sol_hbm_fraction_bf16": round(
+            bytes_moved / dt_bf16 / HBM_PEAK, 3),
+        "sol_hbm_fraction_pallas_vpu": round(
+            bytes_moved / dt_vpu / HBM_PEAK, 3),
     }
 
 
