@@ -35,20 +35,34 @@ from leansdr_tpu.pipelines import tsgen, dvbs_tx
 from leansdr_tpu.util.iofmt import write_iq
 
 
+def _file_stdin(raw):
+    """The reference is only deterministic on FILE input: on a pipe its
+    scheduler sees load-dependent read() chunk sizes, which perturb the
+    feedback loops (README.coding.md:31-35). Feed both decoders from a
+    real file so the goldens hold under any machine load."""
+    import tempfile
+    f = tempfile.TemporaryFile()
+    f.write(raw)
+    f.seek(0)
+    return f
+
+
 def _run_ref(ref_apps, raw, extra=()):
-    r = subprocess.run(
-        [str(ref_apps / "leandvb"), "--f32", "-f", "4e6", "--sr", "2e6",
-         "--cr", "1/2", "--fastlock", *extra],
-        input=raw, capture_output=True, check=True)
+    with _file_stdin(raw) as f:
+        r = subprocess.run(
+            [str(ref_apps / "leandvb"), "--f32", "-f", "4e6", "--sr",
+             "2e6", "--cr", "1/2", "--fastlock", *extra],
+            stdin=f, capture_output=True, check=True)
     return np.frombuffer(r.stdout, np.uint8).reshape(-1, 188)
 
 
 def _run_ours(raw, extra=()):
-    r = subprocess.run(
-        [sys.executable, "-m", "leansdr_tpu.apps.leandvb", "--f32",
-         "--float-scale", "75", "-f", "4e6", "--sr", "2e6", "--cr",
-         "1/2", "--fastlock", *extra],
-        input=raw, capture_output=True, check=True)
+    with _file_stdin(raw) as f:
+        r = subprocess.run(
+            [sys.executable, "-m", "leansdr_tpu.apps.leandvb", "--f32",
+             "--float-scale", "75", "-f", "4e6", "--sr", "2e6", "--cr",
+             "1/2", "--fastlock", *extra],
+            stdin=f, capture_output=True, check=True)
     return np.frombuffer(r.stdout, np.uint8).reshape(-1, 188)
 
 

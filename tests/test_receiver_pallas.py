@@ -68,6 +68,41 @@ def test_kernel_matches_scan_path_huge_amplitudes():
     assert (np.asarray(o_x["cost"][0])[vx] != 0).any()
 
 
+@pytest.mark.parametrize("predef,cr,nsym", [
+    (Predef.PSK8, "2/3", 8),
+    (Predef.APSK16, "3/4", 16),
+])
+def test_kernel_matches_scan_path_nonqpsk(predef, cr, nsym):
+    """The generic constellation branch of the Mosaic kernel (the
+    nsym-way argmin sweep, receiver_pallas.py) vs the XLA scan path:
+    same symbols/costs/valid pattern for 8PSK and 16APSK."""
+    rng = np.random.default_rng(5)
+    cstln = make_dvbs2_constellation(predef, cr)
+    tables = receiver.make_tables(cstln)
+    params = receiver.ReceiverParams(omega=2.0, sampler="linear",
+                                     nsymbols=nsym, exact_lut=False)
+    n = 1280
+    # Noisy random symbols at the AGC setpoint amplitude.
+    pts = cstln.symbols.astype(np.float32)
+    sym_ix = rng.integers(0, nsym, n // 2 + 2)
+    base = np.repeat(pts[sym_ix], 2, axis=0)[: n + 1]
+    x = jnp.asarray((base + rng.normal(scale=8.0, size=base.shape)
+                     ).astype(np.float32)[None])
+
+    st0 = receiver.init_state(params, 1)
+    s_x, o_x = receiver.run_chunks(params, tables, st0, x)
+
+    st_p, packed = rp.demod_pallas(params, rp.sym_constants(cstln),
+                                   rp.pack_state(st0), x, interpret=True)
+    cost, sym, valid = rp.unpack_outputs(packed, 1)
+    vx = np.asarray(o_x["valid"][0])
+    assert (vx == valid[0]).all() and vx.sum() > 100
+    np.testing.assert_array_equal(
+        np.asarray(o_x["symbol"][0])[vx], sym[0][valid[0]])
+    np.testing.assert_array_equal(
+        np.asarray(o_x["cost"][0])[vx], cost[0][valid[0]])
+
+
 def test_state_pack_roundtrip():
     params = receiver.ReceiverParams(omega=1.5, nsymbols=4)
     st = receiver.init_state(params, 7)

@@ -55,10 +55,17 @@ def test_rx_steady_state_matches_leandvb(ref_apps, rate):
     iq = dvbs_tx.modulate(pkts, dvbs_tx.TxConfig(rate=rate, interp=2))
 
     raw = write_iq(iq, "f32")
-    r = subprocess.run(
-        [str(ref_apps / "leandvb"), "--f32", "-f", "4e6", "--sr", "2e6",
-         "--cr", rate, "--anf", "0", "--fastlock"],
-        input=raw, capture_output=True, check=True)
+    # File stdin: the reference is only deterministic on file input
+    # (pipe read() chunking perturbs its scheduler under load,
+    # README.coding.md:31-35).
+    import tempfile
+    with tempfile.TemporaryFile() as f:
+        f.write(raw)
+        f.seek(0)
+        r = subprocess.run(
+            [str(ref_apps / "leandvb"), "--f32", "-f", "4e6", "--sr",
+             "2e6", "--cr", rate, "--anf", "0", "--fastlock"],
+            stdin=f, capture_output=True, check=True)
     ref_ts = np.frombuffer(r.stdout, dtype=np.uint8).reshape(-1, 188)
 
     rx = DvbsReceiver(RxConfig(Fs=4e6, Fm=2e6, rate=rate, fastlock=True))

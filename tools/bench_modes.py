@@ -85,6 +85,43 @@ def bench_8psk(nchan=64, nsamp=None):
     return nchan * nsamp / marg / 1e6
 
 
+def _bench_pallas(predef, cr, nsym, nchan=64, nsamp=None):
+    """Non-QPSK constellations through the Mosaic demod kernel (the
+    generic nsym-way argmin branch, receiver_pallas.py; parity vs the
+    scan path pinned in tests/test_receiver_pallas.py)."""
+    import jax.numpy as jnp
+    from leansdr_tpu.dsp import receiver, receiver_pallas as rp
+    from leansdr_tpu.dsp.cstln import make_dvbs2_constellation
+
+    nsamp = nsamp or 256 * receiver.CHUNK
+    cstln = make_dvbs2_constellation(predef, cr)
+    params = receiver.ReceiverParams(omega=2.0, sampler="linear",
+                                     nsymbols=nsym, exact_lut=False)
+    sc = rp.sym_constants(cstln)
+    state = rp.pack_state(receiver.init_state(params, nchan))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(
+        scale=75.0, size=(nchan, nsamp + 1, 2)).astype(np.float32))
+
+    def call(st):
+        return rp.demod_pallas(params, sc, st, x)
+
+    st, _ = call(state)
+    float(np.asarray(st).sum())
+    marg = _marginal(call, state)
+    return nchan * nsamp / marg / 1e6
+
+
+def bench_8psk_pallas(nchan=64):
+    from leansdr_tpu.dsp.cstln import Predef
+    return _bench_pallas(Predef.PSK8, "2/3", 8, nchan)
+
+
+def bench_16apsk_pallas(nchan=64):
+    from leansdr_tpu.dsp.cstln import Predef
+    return _bench_pallas(Predef.APSK16, "3/4", 16, nchan)
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir",
@@ -95,7 +132,9 @@ def main():
             # (README.md:40-44); 8PSK has no single-number reference
             # baseline — recorded for mode-space coverage.
             ("hs_int_qpsk", bench_hs, 2.4),
-            ("demod_8psk", bench_8psk, 2.4)):
+            ("demod_8psk", bench_8psk, 2.4),
+            ("demod_8psk_pallas", bench_8psk_pallas, 2.4),
+            ("demod_16apsk_pallas", bench_16apsk_pallas, 2.4)):
         try:
             v = fn()
             print(json.dumps({
