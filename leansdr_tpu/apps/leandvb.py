@@ -52,7 +52,11 @@ def usage(code=0, f=sys.stderr):
         "  --fd-info FDNUM         Info messages to file descriptor\n"
         "  --fd-const FDNUM        Constellation to file descriptor\n"
         "  --fd-spectrum FDNUM     Spectrum to file descriptor\n"
+        "  --fd-pp FDNUM           Dump preprocessed IQ data to fd\n"
+        "  --duration FLOAT        Width of timeline plot (s) [no-op:\n"
+        "                          GUI replaced by the fd streams]\n"
         "  --json                  JSON format for aux outputs\n"
+        "  --version               Display version and exit\n"
         "  -v, -d                  Verbose / debug\n")
     sys.exit(code)
 
@@ -66,7 +70,7 @@ def parse_args(argv):
         "input": "u8", "loop": False, "fd_info": -1, "fd_const": -1,
         "fd_spectrum": -1, "json": False, "verbose": False, "debug": False,
         "hs": False, "hdlc": False, "packetized": False, "buf_factor": 4,
-        "Finfo": 5.0, "standard": "DVB-S", "acq": False,
+        "Finfo": 5.0, "standard": "DVB-S", "acq": False, "debug2": False,
     }
     i = 0
     while i < len(argv):
@@ -79,10 +83,18 @@ def parse_args(argv):
 
         if a == "-h":
             usage(0, sys.stdout)
+        elif a == "--version":
+            # leandvb.cc:1073-1075 (prints VERSION and exits).
+            from .. import __version__
+            print(f"leansdr-tpu-{__version__}")
+            sys.exit(0)
         elif a == "-v":
             opts["verbose"] = True
         elif a == "-d":
+            # Second -d promotes to debug2 (leandvb.cc:1068-1071).
+            opts["debug2"] = opts["debug"]
             opts["debug"] = True
+            cfg.debug = True
         elif a == "--u8":
             opts["input"] = "u8"
         elif a in ("--s8", "--char"):
@@ -125,6 +137,13 @@ def parse_args(argv):
             opts["fd_const"] = int(val())
         elif a == "--fd-spectrum":
             opts["fd_spectrum"] = int(val())
+        elif a == "--fd-pp":
+            cfg.fd_pp = int(val())
+        elif a == "--duration":
+            # GUI timeline width in seconds (leandvb.cc:83,128,1176);
+            # accepted for flag parity — the GUI is replaced by the fd
+            # streams, so it has no effect here.
+            val()
         elif a == "--json":
             opts["json"] = True
         elif a == "--buf-factor":
@@ -166,6 +185,21 @@ def main(argv=None):
 
     cfg, opts = parse_args(sys.argv[1:] if argv is None else argv)
     rx = DvbsReceiver(cfg)
+
+    if opts["debug"]:
+        # Glyph legend (leandvb.cc:700-713).
+        if not cfg.hdlc:
+            sys.stderr.write(
+                "Output:\n"
+                "  '_': packet received without errors\n"
+                "  '.': error-corrected packet\n"
+                "  '!': packet with remaining errors\n")
+        else:
+            sys.stderr.write(
+                "Output:\n"
+                "  '_': HDLC frame with correct checksum\n"
+                "  '!': HDLC frame with invalid checksum\n"
+                "  '^': HDLC framing error\n")
 
     info = None
     if opts["fd_info"] >= 0:

@@ -434,6 +434,49 @@ def _punctured_block_inputs(plan: ViterbiPlan, maps, win_sym, win_cost):
     return (jnp.stack(cs_parts, axis=2), jnp.stack(cost_parts, axis=2))
 
 
+def _punctured_block_inputs_tracked(plan: ViterbiPlan, maps, win_sym,
+                                    win_cost, tsync):
+    """TRACK-mode block inputs: only each channel's ELECTED sync replica
+    (tsync = shift*M + map) is materialized — the all-replica
+    [T, C, nsyncs] stacks of _punctured_block_inputs cost nsyncs x the
+    memory traffic to keep 1/nsyncs of the data. Returns
+    (cs [T, C] i32, cost [T, C] i32)."""
+    t = make_trellis(plan.rate)
+    bps = t.bits_out // plan.nshifts
+    C, ns = plan.nchan, plan.nshifts
+    T = plan.nblocks
+    M = plan.nconj * plan.nrot
+    nsym = len(maps[0])
+    maps_arr = np.asarray(maps, np.int32)
+    mc = (tsync % M)[None, :]                                # [1, C]
+    sc = (tsync // M)[None, :]
+    # Per-channel map application: select the elected map's remap of
+    # each hard symbol (M wheres instead of M full remapped copies
+    # sliced ns times each).
+    msel = jnp.zeros(win_sym.shape, jnp.int32)
+    for m in range(M):
+        ms = jnp.zeros(win_sym.shape, jnp.int32)
+        for v in range(nsym):
+            ms = jnp.where(win_sym == v, np.int32(maps_arr[m, v]), ms)
+        msel = jnp.where(mc == m, ms, msel)
+    cs = jnp.zeros((T, C), jnp.int32)
+    cost = jnp.zeros((T, C), jnp.int32)
+    for sh in range(ns):
+        cs_b = jnp.zeros((T, C), jnp.int32)
+        cost_b = jnp.zeros((T, C), jnp.int32)
+        for i in range(ns):
+            o = sh + i
+            lim = o + (T - 1) * ns + 1
+            sl = jax.lax.slice(msel, (o, 0), (lim, C), (ns, 1))
+            cl = jax.lax.slice(win_cost, (o, 0), (lim, C), (ns, 1))
+            cs_b = (cs_b << bps) | sl
+            cost_b = cost_b + cl
+        sel = sc == sh
+        cs = jnp.where(sel, cs_b, cs)
+        cost = jnp.where(sel, cost_b, cost)
+    return cs, cost
+
+
 @partial(jax.jit, static_argnames=("plan", "maps", "interpret"))
 def viterbi_decode_banked(plan: ViterbiPlan, state, maps,
                           interpret=False):

@@ -72,6 +72,9 @@ class RxConfig:
     # None = auto: use the Mosaic demod kernel when running on TPU with a
     # linear sampler and the computed decision path.
     use_pallas: bool | None = None
+    # Observability (leandvb.cc:700-713, 418-422):
+    debug: bool = False          # -d: per-packet glyph stream on stderr
+    fd_pp: int = -1              # --fd-pp: preprocessed IQ as cf32 to fd
 
 
 class _DeconvolSync:
@@ -83,10 +86,11 @@ class _DeconvolSync:
     deconvolution errors wins, symbol slip when BER > 1/3.
     """
 
-    def __init__(self, rate: str, fastlock: bool):
+    def __init__(self, rate: str, fastlock: bool, debug: bool = False):
         self.spec = deconv.deconv_spec(rate)
         self.rate = rate
         self.fastlock = fastlock
+        self.debug = debug
         self.locked = 0
         self.skip = 0
         self.backlog = np.empty(0, np.uint8)   # hard symbols
@@ -132,6 +136,10 @@ class _DeconvolSync:
                     for s in range(4)]
             best = int(np.argmin(errs))
             if best != self.locked:
+                if self.debug:
+                    # "{a->b}": sync-alignment election (dvb.h:442-447)
+                    import sys
+                    sys.stderr.write(f"{{{self.locked}->{best}}}\n")
                 self.locked = best
             if errs[best] > nbytes * 8 // 3:
                 self.skip = 1
@@ -333,13 +341,15 @@ class DvbsReceiver:
             on_next = None
         else:
             self.deconv = _DeconvolSync(
-                "4/6" if rate == "2/3" else rate, cfg.fastlock)
+                "4/6" if rate == "2/3" else rate, cfg.fastlock,
+                debug=cfg.debug)
             on_next = self.deconv.next_sync
         self.mpeg = MpegSync(fastlock=cfg.fastlock, on_next_sync=on_next)
         if cfg.hdlc:
             from ..proto.hdlc import HdlcSync
             self.hdlc_sync = HdlcSync(2, 278, fastlock=cfg.fastlock,
                                       header16=cfg.packetized)
+            self.hdlc_sync.debug = cfg.debug
             self.etr_state = (0, 0)
         self._init_common()
 
@@ -368,6 +378,13 @@ class DvbsReceiver:
             return self._process_hs(iq)
         iq = np.asarray(iq, dtype=np.float32) * np.float32(self.cfg.float_scale)
         iq = self._preprocess(iq)
+        if self.cfg.fd_pp >= 0:
+            # --fd-pp: the preprocessed cf32 stream (p_preprocessed,
+            # leandvb.cc:418-422) — what feeds the demodulator, after
+            # scale/notch/derotation/resample/decimation.
+            import os
+            os.write(self.cfg.fd_pp, np.ascontiguousarray(
+                iq, np.float32).tobytes())
         self.sample_backlog = np.concatenate([self.sample_backlog, iq])
 
         ra = self.params.readahead
@@ -523,6 +540,14 @@ class DvbsReceiver:
             return np.empty((0, TS_SIZE), np.uint8)
 
         msgs, failed, bits = rs.decode(rspkts)
+        if self.cfg.debug:
+            # Per-packet RS classification glyphs (dvb.h:1029-1038):
+            # '_' clean, '.' corrected, '!' still corrupted.
+            import sys
+            sys.stderr.write("".join(
+                "!" if f else ("." if b else "_")
+                for f, b in zip(failed, bits)))
+            sys.stderr.flush()
         self.vbitcount += rspkts.shape[0] * RS_SIZE * 8
         self.verrcount += int(bits.sum())
         self.vber_est.update(int(bits.sum()), rspkts.shape[0] * RS_SIZE * 8)

@@ -134,6 +134,9 @@ class HdlcSync:
         self.framecount = 0
         self.fcserrcount = 0
         self.backlog = np.empty(0, np.uint8)
+        # -d glyphs (hdlc.h:73-96): '_' good frame, '!' bad FCS,
+        # '^' framing error; emitted for the elected polarity only.
+        self.debug = False
 
     def process(self, data: np.ndarray) -> np.ndarray:
         self.backlog = np.concatenate([self.backlog, data])
@@ -148,6 +151,7 @@ class HdlcSync:
                     frames, herr, ferr = self.decs[s].decode(chunk)
                     self.errhist[s, self.errslot] = herr
                     if s == self.cur_sync:
+                        self._glyphs(frames, herr, ferr)
                         self._emit(frames, ferr, out)
                 self.errslot = (self.errslot + 1) % self.NERRHIST
                 total = self.errhist.sum(axis=1)
@@ -158,11 +162,19 @@ class HdlcSync:
             else:
                 frames, herr, ferr = self.decs[self.cur_sync].decode(chunk)
                 self.errhist[self.cur_sync, self.errslot] = herr
+                self._glyphs(frames, herr, ferr)
                 self._emit(frames, ferr, out)
             self.resync_phase += 1
             if self.resync_phase >= self.resync_period:
                 self.resync_phase = 0
         return (np.concatenate(out) if out else np.empty(0, np.uint8))
+
+    def _glyphs(self, frames, hdlc_errors, fcs_errors):
+        if self.debug:
+            import sys
+            sys.stderr.write("_" * len(frames) + "!" * fcs_errors
+                             + "^" * (hdlc_errors - fcs_errors))
+            sys.stderr.flush()
 
     def _emit(self, frames, fcs_errors, out):
         for f in frames:

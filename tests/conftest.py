@@ -55,6 +55,18 @@ def _build_reference() -> Path | None:
     return apps
 
 
+def file_stdin(raw: bytes):
+    """A real-file stdin for running the reference binary: it is only
+    deterministic on FILE input — on a pipe its scheduler sees
+    load-dependent read() chunk sizes, which perturb the feedback loops
+    (README.coding.md:31-35)."""
+    import tempfile
+    f = tempfile.TemporaryFile()
+    f.write(raw)
+    f.seek(0)
+    return f
+
+
 @pytest.fixture(scope="session")
 def ref_apps():
     apps = _build_reference()

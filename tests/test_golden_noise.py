@@ -35,16 +35,7 @@ from leansdr_tpu.pipelines import tsgen, dvbs_tx
 from leansdr_tpu.util.iofmt import write_iq
 
 
-def _file_stdin(raw):
-    """The reference is only deterministic on FILE input: on a pipe its
-    scheduler sees load-dependent read() chunk sizes, which perturb the
-    feedback loops (README.coding.md:31-35). Feed both decoders from a
-    real file so the goldens hold under any machine load."""
-    import tempfile
-    f = tempfile.TemporaryFile()
-    f.write(raw)
-    f.seek(0)
-    return f
+from conftest import file_stdin as _file_stdin
 
 
 def _run_ref(ref_apps, raw, extra=()):

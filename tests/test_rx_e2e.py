@@ -55,13 +55,8 @@ def test_rx_steady_state_matches_leandvb(ref_apps, rate):
     iq = dvbs_tx.modulate(pkts, dvbs_tx.TxConfig(rate=rate, interp=2))
 
     raw = write_iq(iq, "f32")
-    # File stdin: the reference is only deterministic on file input
-    # (pipe read() chunking perturbs its scheduler under load,
-    # README.coding.md:31-35).
-    import tempfile
-    with tempfile.TemporaryFile() as f:
-        f.write(raw)
-        f.seek(0)
+    from conftest import file_stdin
+    with file_stdin(raw) as f:
         r = subprocess.run(
             [str(ref_apps / "leandvb"), "--f32", "-f", "4e6", "--sr",
              "2e6", "--cr", rate, "--anf", "0", "--fastlock"],
