@@ -10,6 +10,16 @@ input file and re-executes the winning command (--rewind).
 Usage:
   python -m leansdr_tpu.apps.leansdrscan [-t SECONDS] [--rewind] \\
       command [args with,commas ...] < capture.iq > out.ts
+
+--device: TPU-native scan (SURVEY.md section 2.10 P5). Instead of
+fork/exec'ing one candidate at a time, ALL (symbol rate x code rate)
+hypotheses race concurrently as batch channels of one device demod
+(pipelines/scan_rx.py) — the lanes a small fleet leaves idle are free
+compute. The election rule is the reference's output-production rule
+(leansdrscan.cc:187-199) applied in grid order; the winning config is
+then exec'd as a normal child command (hand-off), rewound to the start
+of the file under --rewind. Only the command template's --sr and --cr
+fields may carry alternatives in this mode.
 """
 
 import itertools
@@ -100,10 +110,83 @@ def run_candidate(cmd, timeout, rewind):
     return success, not stdin_open
 
 
+def device_scan(template, timeout, rewind):
+    """On-device candidate race: parse the --sr/--cr sweeps out of the
+    command template, run every combination as a batch channel of ONE
+    demodulator (pipelines/scan_rx.CandidateScanReceiver), elect the
+    first candidate that decodes TS, and exec the winning command."""
+    import numpy as np
+    from ..pipelines.scan_rx import CandidateScanReceiver
+    from ..util.iofmt import read_iq
+
+    fmt, Fs, scale = "u8", 2.4e6, 1.0
+    srs, crs = None, ["1/2"]
+    sr_at = cr_at = None
+    skip = set()
+    for k, a in enumerate(template):
+        if k in skip:
+            continue
+        nxt = template[k + 1] if k + 1 < len(template) else ""
+        if a in ("--u8", "--s8", "--u16", "--s16", "--f32"):
+            fmt = a[2:]
+        elif a == "-f":
+            Fs = float(nxt)
+            skip.add(k + 1)
+        elif a == "--float-scale":
+            scale = float(nxt)
+            skip.add(k + 1)
+        elif a == "--sr":
+            srs, sr_at = [float(v) for v in nxt.split(",")], k + 1
+            skip.add(k + 1)
+        elif a == "--cr":
+            crs, cr_at = nxt.split(","), k + 1
+            skip.add(k + 1)
+        elif "," in a and not a.startswith("-"):
+            print("** --device scans --sr/--cr alternatives only; "
+                  f"'{template[k - 1]} {a}' is not supported",
+                  file=sys.stderr)
+            return 1
+    if not srs:
+        print("** --device needs an --sr field in the command",
+              file=sys.stderr)
+        return 1
+
+    scan = CandidateScanReceiver.grid(Fs, srs, crs, float_scale=scale)
+    itemsize = {"u8": 2, "s8": 2, "u16": 4, "s16": 4, "f32": 8}[fmt]
+    stdin = sys.stdin.buffer
+    t0 = time.time()
+    consumed = 0
+    winner = None
+    while winner is None and time.time() - t0 < timeout * max(
+            1, len(scan.candidates)):
+        raw = stdin.read((1 << 16) * itemsize)
+        if not raw:
+            break
+        nitems = len(raw) // itemsize * itemsize
+        consumed += nitems // itemsize
+        winner = scan.process(read_iq(raw[:nitems], fmt))
+    if winner is None:
+        print("** device scan: no candidate locked", file=sys.stderr)
+        return 1
+    c = scan.candidates[winner]
+    cmd = list(template)
+    if sr_at is not None:
+        cmd[sr_at] = f"{c.Fm:g}"
+    if cr_at is not None:
+        cmd[cr_at] = c.rate
+    print(f"Device scan elected: --sr {c.Fm:g} --cr {c.rate} after "
+          f"{consumed} samples ({time.time() - t0:.2f}s); exec: "
+          f"{' '.join(cmd)}", file=sys.stderr)
+    if rewind:
+        os.lseek(stdin.fileno(), 0, os.SEEK_SET)
+    os.execvp(cmd[0], cmd)
+
+
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
     timeout = 2.0
     rewind = False
+    device = False
     i = 0
     while i < len(argv) and argv[i].startswith("-"):
         if argv[i] in ("-t", "--timeout"):
@@ -111,6 +194,8 @@ def main(argv=None):
             timeout = float(argv[i])
         elif argv[i] == "--rewind":
             rewind = True
+        elif argv[i] == "--device":
+            device = True
         elif argv[i] in ("-v", "-d"):
             pass
         else:
@@ -121,6 +206,8 @@ def main(argv=None):
     if not template:
         print(__doc__, file=sys.stderr)
         return 1
+    if device:
+        return device_scan(template, timeout, rewind)
 
     while True:
         saw_eof = False

@@ -51,7 +51,8 @@ def make_bands(taps) -> tuple[np.ndarray, np.ndarray]:
     """Banded Toeplitz factors (A_lo, A_hi), each [B, B] float32."""
     t = np.asarray(taps, np.float32)
     nt = len(t)
-    assert nt <= B + 1, f"{nt} taps > {B + 1}: needs a third band"
+    if nt > B + 1:
+        raise ValueError(f"{nt} taps > {B + 1}: needs a third band")
     m, j = np.meshgrid(np.arange(B), np.arange(B), indexing="ij")
     k_lo = j - m
     k_hi = j + B - m
@@ -72,7 +73,8 @@ def fir_mxu(x: jnp.ndarray, taps: tuple,
     "highest" (f32-grade, default) or "default" (bf16 multiplies).
     """
     R, n = x.shape
-    assert n % B == 0
+    if n % B:
+        raise ValueError(f"n={n} not a multiple of {B}")
     A_lo, A_hi = make_bands(taps)
     xb = x.reshape(R, n // B, B)
     xp = jnp.pad(xb[:, :-1], ((0, 0), (1, 0), (0, 0)))
@@ -81,3 +83,24 @@ def fir_mxu(x: jnp.ndarray, taps: tuple,
          + jnp.einsum("rbm,mj->rbj", xp, jnp.asarray(A_hi),
                       precision=precision))
     return y.reshape(R, n)
+
+
+@partial(jax.jit, static_argnames=("taps", "precision"))
+def fir_mxu_valid(x: jnp.ndarray, taps: tuple,
+                  precision: str = "highest") -> jnp.ndarray:
+    """VALID-mode correlation on the MXU: y[r,t] = sum_k taps[k] x[r,t+k],
+    t in [0, n - ntaps + 1).
+
+    The chunked-streaming contract: filter history is IN-BAND — callers
+    pass ntaps-1 samples of readahead overlap in x (as the matched
+    filter in pipelines/multi_rx.py does), so the kernel itself stays
+    stateless and no boundary carry is needed.  Arbitrary n (padded to
+    the 128-block grid internally).
+    """
+    n = x.shape[1]
+    nt = len(taps)
+    pad = -n % B
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)))
+    y = fir_mxu(x, tuple(taps)[::-1], precision=precision)
+    return y[:, nt - 1:n]

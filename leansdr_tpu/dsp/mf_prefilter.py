@@ -54,7 +54,57 @@ def mf_prefilter(taps: tuple, freqw: jnp.ndarray, x: jnp.ndarray):
     taps: static input-rate RRC taps.  freqw: [C] current carrier step
     (u16 units/sample); taps are rotated by exp(-i*w*(j - ntaps//2)) so
     the filter passband tracks each channel's carrier (sdr.h:676-681).
+
+    MXU formulation: the per-channel tap rotation factors out of the
+    convolution —
+
+        sum_k c[k] e^{-iw(k-h)} x[t+k]
+          = e^{iw(t+h)} * sum_k c[k] (e^{-iws} x[s])|_{s=t+k}
+
+    so the chain is derotate (VPU, 6 ops/sample) -> REAL static-tap
+    banded-Toeplitz matmul on the MXU (dsp/fir_mxu.py, re/im as rows)
+    -> re-rotate.  This replaces the 65-tap unrolled shift-and-add VPU
+    sweep (~8 ops/sample/tap) that shipped before; parity vs that
+    formulation is pinned by tests/test_fft_fir.py (the VPU variant
+    stays below as mf_prefilter_vpu).  Rotation phases are computed
+    mod-65536 in the freqw integer domain before the 2*pi scaling, so
+    float32 cos/sin never see large arguments.
     """
+    from .fir_mxu import fir_mxu_valid
+    c = np.asarray(taps, np.float32)
+    ntaps = c.shape[0]
+    C = x.shape[0]
+    n = x.shape[1] - (ntaps - 1)
+    h = ntaps // 2
+    s = jnp.arange(x.shape[1], dtype=jnp.float32)[None, :]      # [1, S]
+    # phase in u16 units, wrapped exactly: split freqw into integer and
+    # fractional parts; the integer product wraps in int32 (mod 2^16
+    # after masking), the fractional product stays small enough for f32.
+    fi = jnp.floor(freqw)[:, None]
+    ff = (freqw[:, None] - fi)
+    ph = ((fi.astype(jnp.int32) * s.astype(jnp.int32)) & 0xFFFF
+          ).astype(jnp.float32) + ff * s
+    ang = -(2 * np.pi / 65536.0) * ph                           # [C, S]
+    dr, di = jnp.cos(ang), jnp.sin(ang)
+    xr, xi = x[:, :, 0], x[:, :, 1]
+    ur = xr * dr - xi * di                  # u = e^{-iws} x
+    ui = xr * di + xi * dr
+    v = fir_mxu_valid(jnp.concatenate([ur, ui], axis=0),
+                      tuple(float(t) for t in c))               # [2C, n]
+    vr, vi = v[:C], v[C:]
+    ang2 = -ang[:, :n] + (2 * np.pi / 65536.0) * (
+        jnp.mod(freqw[:, None], 65536.0) * np.float32(h))
+    rr, ri = jnp.cos(ang2), jnp.sin(ang2)   # e^{iw(t+h)}
+    zr = vr * rr - vi * ri
+    zi = vr * ri + vi * rr
+    return jnp.stack([zr, zi], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("taps",))
+def mf_prefilter_vpu(taps: tuple, freqw: jnp.ndarray, x: jnp.ndarray):
+    """The streaming VPU formulation (unrolled shift-and-add over the
+    taps, rotated per channel) — kept as the parity reference for the
+    MXU path and for shapes where a matmul is not profitable."""
     c = np.asarray(taps, np.float32)
     ntaps = c.shape[0]
     n = x.shape[1] - (ntaps - 1)
@@ -62,10 +112,6 @@ def mf_prefilter(taps: tuple, freqw: jnp.ndarray, x: jnp.ndarray):
     ang = -(freqw[:, None] / 65536.0) * (2 * np.pi) * jnp.asarray(j)[None]
     cr = jnp.asarray(c)[None, :] * jnp.cos(ang)         # [C, ntaps]
     ci = jnp.asarray(c)[None, :] * jnp.sin(ang)
-    # Unrolled shift-and-add over the (few) taps: each term is one
-    # elementwise FMA on a [C, n] plane — XLA fuses the whole sum into a
-    # single VPU pass (a grouped conv here tiles the 2-wide channel
-    # groups onto 128-lane registers and pads HBM 64-128x).
     xr, xi = x[:, :, 0], x[:, :, 1]
     zr = jnp.zeros((x.shape[0], n), jnp.float32)
     zi = zr

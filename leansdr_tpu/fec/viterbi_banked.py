@@ -85,6 +85,11 @@ def bank_geometry(rate: str) -> BankGeometry:
             for j in range(K):
                 sp = j * G + g
                 assert len(set(t.in_us[sp])) == 1
+                # Coded symbols are distinct across the K branches into
+                # a state: packed candidate keys are then UNIQUE per
+                # (row, lane), so the kernel's order-free strict-<
+                # running min reproduces the reference scan exactly.
+                assert len(set(t.in_cs[sp])) == K, (rate, sp)
                 us[g, j] = t.in_us[sp][0]
                 for k in range(K):
                     p = g * K + k
@@ -264,7 +269,7 @@ def _kernel_tables(rate: str):
     """Static tables as kernel inputs (Pallas forbids captured arrays).
 
     Unrolled layout (K <= 16): tblA [max(K,8), 128] i32: column g*K+k
-    rows 0..K-1 = cs[g,k,:]; columns 64+g = us[g,:].
+    rows 0..K-1 = RANKS ncs-1-cs[g,k,:]; columns 64+g = us[g,:].
 
     Fori layout (K >= 32): per-pred data stacked ALONG SUBLANES so the
     traced pred index becomes a dynamic SUBLANE slice (dynamic lane
@@ -282,7 +287,7 @@ def _kernel_tables(rate: str):
         tblA = np.zeros((rows, LANES), np.int32)
         for g in range(geo.G):
             for k in range(geo.K):
-                tblA[:geo.K, g * geo.K + k] = geo.cs[g, k]
+                tblA[:geo.K, g * geo.K + k] = geo.ncs - 1 - geo.cs[g, k]
         for g in range(geo.G):
             tblA[:geo.K, 64 + g] = geo.us[g]
         return tblA
@@ -401,9 +406,10 @@ def _acs_banked_kernel(rate: str, cheap_q: bool, groups: int,
 
             def step8(row0, tr0, carry):
                 # The us sub-selection is DEFERRED: the loop carries the
-                # winning pred's raw table word + hi-cs match bit and the
-                # epilogue unpacks once, saving ~5 VPU ops per pred.
-                run_key, run_hi, run_lo, run_tc, run_mh = carry
+                # winning pred's raw table word and the epilogue unpacks
+                # once (incl. the hi-cs match bit, re-derived from the
+                # word), saving ~6 VPU ops per pred.
+                run_key, run_hi, run_lo, run_tc = carry
                 m8 = scratch[pl.ds(ro_in + row0, U)]
                 h8 = scratch[pl.ds(ro_in + 64 + row0, U)]
                 l8 = scratch[pl.ds(ro_in + 128 + row0, U)]
@@ -431,12 +437,9 @@ def _acs_banked_kernel(rate: str, cheap_q: bool, groups: int,
                     run_hi = jnp.where(cond, hk, run_hi)
                     run_lo = jnp.where(cond, lk, run_lo)
                     run_tc = jnp.where(cond, tc, run_tc)
-                    if geo.cs2 is not None:
-                        run_mh = jnp.where(cond, mh.astype(jnp.int32),
-                                           run_mh)
-                return run_key, run_hi, run_lo, run_tc, run_mh
+                return run_key, run_hi, run_lo, run_tc
 
-            carry = (BIGc, z, z, z, z)
+            carry = (BIGc, z, z, z)
             pos = 0
             for (rstart, rlen) in runs[g]:
                 def body(kb, c, rstart=rstart, pos=pos):
@@ -444,7 +447,7 @@ def _acs_banked_kernel(rate: str, cheap_q: bool, groups: int,
                                  (g * K + pos + kb * U) * J, c)
                 carry = jax.lax.fori_loop(0, rlen // U, body, carry)
                 pos += rlen
-            run_key, run_hi, run_lo, run_tc, run_mh = carry
+            run_key, run_hi, run_lo, run_tc = carry
             wm = run_key >> RB
             uh = (run_tc >> 16) & us_mask
             if geo.cs2 is not None:
@@ -452,8 +455,12 @@ def _acs_banked_kernel(rate: str, cheap_q: bool, groups: int,
                 rank = run_key & jnp.int32((1 << RB) - 1)
                 is_prov = rank == ncs
                 is_p2 = rank == ((run_tc >> 8) & 0xFF)
+                # hi-cs match bit re-derived from the winning table word
+                # (the carried run_mh plane it replaces was exactly
+                # this predicate at carry time).
+                run_mh = (run_tc & 0xFF) == rcs
                 run_us = jnp.where(is_prov,
-                                   jnp.where(run_mh != 0, uh, ul),
+                                   jnp.where(run_mh, uh, ul),
                                    jnp.where(is_p2, ul, uh))
             else:
                 run_us = uh
@@ -487,7 +494,7 @@ def _acs_banked_kernel(rate: str, cheap_q: bool, groups: int,
         z = jnp.zeros((64, LANES), jnp.int32)
 
         def body(it, carry):
-            run_key, run_hi, run_lo, run_tc, run_mh = carry
+            run_key, run_hi, run_lo, run_tc = carry
             mask = rowi == (gbase + it)
             mkv = jnp.sum(jnp.where(mask, scratch[ro_in:ro_in + 64], 0),
                           axis=0, keepdims=True)            # [1, N]
@@ -511,11 +518,10 @@ def _acs_banked_kernel(rate: str, cheap_q: bool, groups: int,
             return (jnp.where(cond, key_k, run_key),
                     jnp.where(cond, hkv, run_hi),
                     jnp.where(cond, lkv, run_lo),
-                    jnp.where(cond, tc, run_tc),
-                    jnp.where(cond, mh.astype(jnp.int32), run_mh))
+                    jnp.where(cond, tc, run_tc))
 
-        run_key, run_hi, run_lo, run_tc, run_mh = jax.lax.fori_loop(
-            0, P_g, body, (BIGc, z, z, z, z))
+        run_key, run_hi, run_lo, run_tc = jax.lax.fori_loop(
+            0, P_g, body, (BIGc, z, z, z))
         # Butterfly all-reduce across the lane-groups (keys unique).
         for kk in range(groups.bit_length() - 1):
             sh = ncols_g << kk
@@ -528,14 +534,12 @@ def _acs_banked_kernel(rate: str, cheap_q: bool, groups: int,
                                                 axis=1), run_lo)
             run_tc = jnp.where(take, pltpu.roll(run_tc, shift=sh,
                                                 axis=1), run_tc)
-            run_mh = jnp.where(take, pltpu.roll(run_mh, shift=sh,
-                                                axis=1), run_mh)
         wm = run_key >> RB
         uh = (run_tc >> 16) & us_mask
         ul = (run_tc >> 23) & us_mask
         rank = run_key & jnp.int32((1 << RB) - 1)
         run_us = jnp.where(rank == ncs,
-                           jnp.where(run_mh != 0, uh, ul),
+                           jnp.where((run_tc & 0xFF) == rcs, uh, ul),
                            jnp.where(rank == ((run_tc >> 8) & 0xFF),
                                      ul, uh))
         new_hi = (run_hi << nb) | ((run_lo >> (32 - nbits))
@@ -558,41 +562,39 @@ def _acs_banked_kernel(rate: str, cheap_q: bool, groups: int,
             _epilogue(t, ro_out, want_q)
             return
 
+        # Single-pass running min (keys unique per (row, lane): ranks
+        # are distinct across the K branches into a state — asserted in
+        # bank_geometry — and the provided key's rank field is ncs);
+        # the winning pred's path rows ride along, no re-scan pass.
+        rcs = (ncs - 1) - cs_b                     # [1, N]
+        cshift = c_b << RB
         for g in range(G):
-            plain_min = None
-            prov_min = None
+            run_key = run_hi = run_lo = None
             for k in range(K):
                 row = int(geo.pred_row[g, k])
                 mk = scratch[ro_in + row:ro_in + row + 1]      # [1, N]
-                csk = tblA_ref[0:K, g * K + k][:, None]        # [K, 1]
-                plain = (mk << RB) | (ncs - 1 - csk)
-                prov = jnp.where(csk == cs_b,
-                                 ((mk + c_b) << RB) | ncs, BIG)
-                plain_min = plain if plain_min is None else \
-                    jnp.minimum(plain_min, plain)
-                prov_min = prov if prov_min is None else \
-                    jnp.minimum(prov_min, prov)
-            win = jnp.minimum(plain_min, prov_min)
-            wm = win >> RB
-
-            sel_hi = jnp.zeros_like(win)
-            sel_lo = jnp.zeros_like(win)
-            for k in range(K):
-                row = int(geo.pred_row[g, k])
-                mk = scratch[ro_in + row:ro_in + row + 1]
                 hk = scratch[ro_in + 64 + row:ro_in + 64 + row + 1]
                 lk = scratch[ro_in + 128 + row:ro_in + 128 + row + 1]
-                csk = tblA_ref[0:K, g * K + k][:, None]
-                provwin = (((mk + c_b) << RB) | ncs) == win
-                cond = (((mk << RB) | (ncs - 1 - csk)) == win) | \
-                    (provwin & (csk == cs_b))
-                sel_hi = jnp.where(cond, hk, sel_hi)
-                sel_lo = jnp.where(cond, lk, sel_lo)
+                rkk = tblA_ref[0:K, g * K + k][:, None]        # [K, 1]
+                base = mk << RB                                # [1, N]
+                plain = base | rkk                             # [K, N]
+                provk = (base + cshift) | ncs                  # [1, N]
+                key_k = jnp.where(rkk == rcs,
+                                  jnp.minimum(plain, provk), plain)
+                if run_key is None:
+                    z = jnp.zeros_like(key_k)
+                    run_key, run_hi, run_lo = key_k, hk + z, lk + z
+                else:
+                    cond = key_k < run_key
+                    run_key = jnp.where(cond, key_k, run_key)
+                    run_hi = jnp.where(cond, hk, run_hi)
+                    run_lo = jnp.where(cond, lk, run_lo)
+            wm = run_key >> RB
             sel_us = tblA_ref[0:K, 64 + g][:, None] + \
-                jnp.zeros_like(win)
-            new_hi = (sel_hi << nb) | ((sel_lo >> (32 - nbits))
+                jnp.zeros_like(wm)
+            new_hi = (run_hi << nb) | ((run_lo >> (32 - nbits))
                                        & carry_mask)
-            new_lo = (sel_lo << nb) | sel_us
+            new_lo = (run_lo << nb) | sel_us
             scratch[ro_out + g * K:ro_out + (g + 1) * K] = wm
             scratch[ro_out + 64 + g * K:ro_out + 64 + (g + 1) * K] = \
                 new_hi

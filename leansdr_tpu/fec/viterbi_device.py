@@ -504,15 +504,8 @@ def viterbi_decode_banked(plan: ViterbiPlan, state, maps,
     win_cost = state["cost"][:plan.needed].astype(jnp.int32)
 
     if track:
-        M = plan.nconj * plan.nrot
-        full = ViterbiPlan(plan.rate, C, plan.nsamp, ns, E, plan.cap,
-                           nsyncs=M * ns, nconj=plan.nconj,
-                           nrot=plan.nrot)
-        cs_a, cost_a = _punctured_block_inputs(full, maps, win_sym,
-                                               win_cost)
-        tsync = state["tsync"][None, :, None]                # [1, C, 1]
-        cs = jnp.take_along_axis(cs_a, tsync, axis=2)[:, :, 0]
-        cost = jnp.take_along_axis(cost_a, tsync, axis=2)[:, :, 0]
+        cs, cost = _punctured_block_inputs_tracked(
+            plan, maps, win_sym, win_cost, state["tsync"])
         ncols = C
     else:
         cs_a, cost_a = _punctured_block_inputs(plan, maps, win_sym,
@@ -532,6 +525,12 @@ def viterbi_decode_banked(plan: ViterbiPlan, state, maps,
     groups = (min(8, VB_LANES // slot)
               if geo_b7 and plan.n_lanes == VB_LANES and slot <= 64
               else 1)
+    if groups < 4:
+        # Measured on v5e: 2 lane-groups do not amortize the butterfly
+        # reduction + replicated-plane overhead (64-ch 7/8: grouped-2 is
+        # ~8% slower than the plain pred sweep); grouping pays off from
+        # 4 groups up (16-ch fleets: 4.3x, docs/PERF.md).
+        groups = 1
     m_in, h_in, l_in = (state["metric"], state["path_hi"],
                         state["path_lo"])
     if groups > 1:

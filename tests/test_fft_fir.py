@@ -44,8 +44,47 @@ def test_fir_mxu_matches_convolve(nt):
 
 def test_fir_mxu_band_limit():
     from leansdr_tpu.dsp.fir_mxu import make_bands
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         make_bands(np.ones(130, np.float32))
+
+
+def test_fir_mxu_valid_matches_convolve():
+    """fir_mxu_valid: VALID-mode correlation with in-band history and
+    arbitrary (non-128-multiple) lengths."""
+    from leansdr_tpu.dsp.fir_mxu import fir_mxu_valid
+    rng = np.random.default_rng(9)
+    R, S, nt = 4, 3001, 65
+    x = rng.normal(size=(R, S)).astype(np.float32)
+    taps = tuple(np.hanning(nt).astype(np.float32).tolist())
+    y = np.asarray(fir_mxu_valid(jnp.asarray(x), taps))
+    ref = np.stack([np.correlate(r, np.array(taps), mode="valid")
+                    for r in x])
+    assert y.shape == ref.shape == (R, S - nt + 1)
+    np.testing.assert_allclose(y, ref, atol=1e-3)
+
+
+def test_mf_prefilter_mxu_matches_vpu():
+    """The MXU matched filter (derotate -> banded matmul -> re-rotate,
+    dsp/mf_prefilter.py) vs the streaming VPU formulation, at real
+    carrier offsets incl. negative and fractional freqw."""
+    from leansdr_tpu.dsp.mf_prefilter import (make_mf_taps, mf_prefilter,
+                                              mf_prefilter_vpu)
+    rng = np.random.default_rng(3)
+    taps = make_mf_taps(4e6, 2e6, 0.35, 30.0)
+    C, n = 5, 4096
+    x = rng.normal(scale=75.0,
+                   size=(C, n + len(taps) - 1, 2)).astype(np.float32)
+    freqw = jnp.asarray([0.0, 327.68, -1200.5, 8000.25, 65536.0 / 3],
+                        jnp.float32)
+    y = np.asarray(mf_prefilter(tuple(taps), freqw, jnp.asarray(x)))
+    ref = np.asarray(mf_prefilter_vpu(tuple(taps), freqw, jnp.asarray(x)))
+    assert y.shape == ref.shape == (C, n, 2)
+    np.testing.assert_allclose(y, ref, atol=2e-2 * 75.0)
+    # and the zero-offset channel equals a plain convolution
+    z = x[0, :, 0] + 1j * x[0, :, 1]
+    zk = np.correlate(z, np.asarray(taps, np.complex64), mode="valid")
+    np.testing.assert_allclose(y[0, :, 0], zk.real, atol=1e-2 * 75.0)
+    np.testing.assert_allclose(y[0, :, 1], zk.imag, atol=1e-2 * 75.0)
 
 
 def test_cfir_pallas_matches_convolve():

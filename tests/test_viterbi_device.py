@@ -234,6 +234,46 @@ def test_banked_fleet_decode_matches_xla(rate):
     assert not np.asarray(u_t).any()
 
 
+@pytest.mark.parametrize("rate", ["3/4", "7/8"])
+def test_tracked_block_inputs_match_gather(rate):
+    """TRACK-mode elected-only block inputs
+    (_punctured_block_inputs_tracked) == the all-replica stack gathered
+    at tsync, for every possible per-channel election."""
+    from leansdr_tpu.fec.viterbi_device import (
+        ViterbiPlan, _punctured_block_inputs,
+        _punctured_block_inputs_tracked, P_SUB)
+    from leansdr_tpu.fec.viterbi import make_trellis
+    t = make_trellis(rate)
+    ns = t.bits_out // 2
+    M = 4
+    C = M * ns                       # one channel per possible election
+    plan = ViterbiPlan(rate, C, P_SUB * ns, ns, 1, 4 * P_SUB * ns)
+    full = ViterbiPlan(rate, C, plan.nsamp, ns, 1, plan.cap,
+                       nsyncs=M * ns)
+    track = ViterbiPlan(rate, C, plan.nsamp, ns, 1, plan.cap, nsyncs=1)
+    cstln = make_dvbs2_constellation(Predef.QPSK, rate)
+    from leansdr_tpu.fec.viterbi_device import make_sync_maps
+    maps, _, _, _ = make_sync_maps(cstln, rate)
+    maps = tuple(tuple(int(v) for v in row) for row in maps)
+    rng = np.random.default_rng(11)
+    win_sym = jnp.asarray(
+        rng.integers(0, 4, (plan.needed, C), dtype=np.int64), jnp.int32)
+    win_cost = jnp.asarray(
+        -rng.integers(0, 50, (plan.needed, C), dtype=np.int64),
+        jnp.int32)
+    tsync = jnp.arange(C, dtype=jnp.int32)
+    cs_a, cost_a = _punctured_block_inputs(full, maps, win_sym, win_cost)
+    ref_cs = np.take_along_axis(np.asarray(cs_a),
+                                np.arange(C)[None, :, None], axis=2)[..., 0]
+    ref_cost = np.take_along_axis(np.asarray(cost_a),
+                                  np.arange(C)[None, :, None],
+                                  axis=2)[..., 0]
+    cs, cost = _punctured_block_inputs_tracked(track, maps, win_sym,
+                                               win_cost, tsync)
+    assert np.array_equal(np.asarray(cs), ref_cs)
+    assert np.array_equal(np.asarray(cost), ref_cost)
+
+
 def test_banked_fleet_e2e_decodes_ts():
     """Real DVB-S 3/4 stimulus through MultiDvbsReceiver with the
     banked kernel (interpret): payload-verified TS out."""
