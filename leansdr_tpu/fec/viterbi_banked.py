@@ -335,7 +335,31 @@ def _kernel_tables_grouped(rate: str, groups: int):
     return tbl
 
 
+@lru_cache(maxsize=None)
+def _kernel_tables_rowsplit(rate: str):
+    """Row-split (B=7, 64-channel) tables: the 64 OUTPUT STATES are
+    split across the two lane-halves (channels replicated), so every
+    candidate op runs on [32, LANES] half-planes — 4 native vregs
+    instead of 8.  Row p*32 + r, lane l packs the branch constants for
+    predecessor p into state s = r + 32*(l >= 64) (same field packing
+    as _kernel_tables' fori layout), replicated over the 64 channel
+    columns of each half."""
+    geo = bank_geometry(rate)
+    assert geo.cs2 is not None
+    tbl = np.zeros((NSTATES * 32, LANES), np.int32)
+    for p in range(NSTATES):
+        rk = geo.ncs - 1 - geo.cs[0, p]          # [64] per state
+        rk2 = geo.ncs - 1 - geo.cs2[0, p]
+        packed = (rk | (rk2 << 8) | (geo.us_hi[0, p] << 16)
+                  | (geo.us_lo[0, p] << 23))
+        for r in range(32):
+            tbl[p * 32 + r, 0:64] = packed[r]
+            tbl[p * 32 + r, 64:128] = packed[32 + r]
+    return tbl
+
+
 def _acs_banked_kernel(rate: str, cheap_q: bool, groups: int,
+                       rowsplit: bool,
                        tblA_ref, cs_ref, cost_ref,
                        m_in_ref, hi_in_ref, lo_in_ref,
                        m_out_ref, hi_out_ref, lo_out_ref,
@@ -345,6 +369,8 @@ def _acs_banked_kernel(rate: str, cheap_q: bool, groups: int,
     scratch (384, LANES): two 192-row regions (m 0:64, hi 64:128,
     lo 128:192), ping-ponged per block because every bank reads
     predecessor rows scattered across the whole previous plane.
+    rowsplit (B=7, 64 channels): output states split across the two
+    lane-halves, half-height planes (see _kernel_tables_rowsplit).
     """
     geo = bank_geometry(rate)
     nbits, depth = PATH_SPEC[rate]
@@ -355,12 +381,23 @@ def _acs_banked_kernel(rate: str, cheap_q: bool, groups: int,
     BIG = jnp.int32(1 << 30)
     nb = jnp.int32(nbits)
     carry_mask = jnp.int32((1 << nbits) - 1)
+    lane_hi = jax.lax.broadcasted_iota(jnp.int32, (32, LANES), 1) >= 64
 
     @pl.when(i == 0)
     def _():
-        scratch[0:64] = m_in_ref[...]
-        scratch[64:128] = hi_in_ref[...]
-        scratch[128:192] = lo_in_ref[...]
+        if rowsplit:
+            # Repack tiled [64, N] planes (lane-halves replicate the
+            # channels) into half-height row-split planes: row r lane l
+            # holds state r + 32*(l >= 64).
+            for off, ref in ((0, m_in_ref), (64, hi_in_ref),
+                             (128, lo_in_ref)):
+                v = ref[...]
+                scratch[off:off + 32] = jnp.where(lane_hi, v[32:64],
+                                                  v[0:32])
+        else:
+            scratch[0:64] = m_in_ref[...]
+            scratch[64:128] = hi_in_ref[...]
+            scratch[128:192] = lo_in_ref[...]
 
     # stored row -> original state index, as a [64, 1] column.
     rr = jax.lax.broadcasted_iota(jnp.int32, (64, 1), 0)
@@ -549,10 +586,98 @@ def _acs_banked_kernel(rate: str, cheap_q: bool, groups: int,
         scratch[ro_out + 64:ro_out + 128] = new_hi
         scratch[ro_out + 128:ro_out + 192] = new_lo
 
+    ocol2 = (jax.lax.broadcasted_iota(jnp.int32, (32, LANES), 0)
+             + jnp.where(lane_hi, 32, 0))
+    half_idx = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1) >> 6
+
+    def block_rowsplit(t, ro_in, ro_out, want_q, cs_b, c_b):
+        """B=7 at 64 channels: states on half-height planes, channels
+        replicated across the lane-halves. Every candidate op is
+        [32, LANES] (4 native vregs, half the full-plane sweep); the
+        pred metric is one dynamic row read + a half-swap roll. The
+        packed keys stay globally unique, so the strict-< running min
+        is exact as in the other paths."""
+        rcs = (ncs - 1) - cs_b
+        cshift = c_b << RB
+        us_mask = jnp.int32(0x7F)
+        BIGc = jnp.full((32, LANES), BIG, jnp.int32)
+        z = jnp.zeros((32, LANES), jnp.int32)
+
+        def body(p, carry):
+            run_key, run_hi, run_lo, run_tc = carry
+            pr = p & 31
+            ph = p >> 5
+            sel = half_idx == ph
+
+            def bcast(off):
+                row = scratch[pl.ds(ro_in + off + pr, 1)]   # [1, N]
+                return jnp.where(sel, row,
+                                 pltpu.roll(row, shift=64, axis=1))
+
+            mk, hk, lk = bcast(0), bcast(64), bcast(128)
+            tc = tblA_ref[pl.ds(p * 32, 32), :]             # [32, N]
+            rk = tc & 0xFF
+            rk2 = (tc >> 8) & 0xFF
+            base = mk << RB
+            p1 = base | rk
+            p2 = base | rk2
+            provk = (base + cshift) | ncs
+            prov = jnp.where((rk == rcs) | (rk2 == rcs), provk, BIG)
+            key_k = jnp.minimum(jnp.minimum(p1, p2), prov)
+            cond = key_k < run_key
+            return (jnp.where(cond, key_k, run_key),
+                    jnp.where(cond, hk, run_hi),
+                    jnp.where(cond, lk, run_lo),
+                    jnp.where(cond, tc, run_tc))
+
+        run_key, run_hi, run_lo, run_tc = jax.lax.fori_loop(
+            0, NSTATES, body, (BIGc, z, z, z))
+        wm = run_key >> RB
+        uh = (run_tc >> 16) & us_mask
+        ul = (run_tc >> 23) & us_mask
+        rank = run_key & jnp.int32((1 << RB) - 1)
+        run_us = jnp.where(rank == ncs,
+                           jnp.where((run_tc & 0xFF) == rcs, uh, ul),
+                           jnp.where(rank == ((run_tc >> 8) & 0xFF),
+                                     ul, uh))
+        new_hi = (run_hi << nb) | ((run_lo >> (32 - nbits))
+                                   & carry_mask)
+        new_lo = (run_lo << nb) | run_us
+        scratch[ro_out:ro_out + 32] = wm
+        scratch[ro_out + 64:ro_out + 96] = new_hi
+        scratch[ro_out + 128:ro_out + 160] = new_lo
+
+    def _epilogue_rowsplit(t, ro_out, want_q):
+        m_new = scratch[ro_out:ro_out + 32]
+        key = (m_new << 6) | ocol2
+        bh = jnp.min(key, axis=0, keepdims=True)               # [1, N]
+        bk = jnp.minimum(bh, pltpu.roll(bh, shift=64, axis=1))
+        bm = bk >> 6
+        mask = key == bk
+        usp = (scratch[ro_out + 64:ro_out + 96] >> sh) & \
+            jnp.int32((1 << nbits) - 1)
+        uh2 = jnp.max(jnp.where(mask, usp, 0), axis=0,
+                      keepdims=True)
+        us_ref[t] = jnp.maximum(uh2, pltpu.roll(uh2, shift=64,
+                                                axis=1))[0]
+        if want_q:
+            s2 = jnp.min(jnp.where(mask, BIG, key), axis=0,
+                         keepdims=True)
+            second = jnp.minimum(s2, pltpu.roll(s2, shift=64,
+                                                axis=1)) >> 6
+            q_ref[t] = (second - bm)[0]
+        else:
+            q_ref[t] = jnp.zeros((LANES,), jnp.int32)
+        scratch[ro_out:ro_out + 32] = m_new - bm
+
     def block(t, ro_in, ro_out, want_q):
         cs_b = cs_ref[t][None, :]                  # [1, N]
         c_b = cost_ref[t][None, :]
 
+        if rowsplit:
+            block_rowsplit(t, ro_in, ro_out, want_q, cs_b, c_b)
+            _epilogue_rowsplit(t, ro_out, want_q)
+            return
         if groups > 1:
             block_grouped(t, ro_in, ro_out, want_q, cs_b, c_b)
             _epilogue(t, ro_out, want_q)
@@ -623,15 +748,27 @@ def _acs_banked_kernel(rate: str, cheap_q: bool, groups: int,
 
     @pl.when(i == pl.num_programs(1) - 1)
     def _():
-        m_out_ref[...] = scratch[0:64]
-        hi_out_ref[...] = scratch[64:128]
-        lo_out_ref[...] = scratch[128:192]
+        if rowsplit:
+            # Unpack half-height row-split planes back to the tiled
+            # [64, N] layout (both lane-halves replicate the channels).
+            for off, ref in ((0, m_out_ref), (64, hi_out_ref),
+                             (128, lo_out_ref)):
+                rep = scratch[off:off + 32]
+                swp = pltpu.roll(rep, shift=64, axis=1)
+                lo32 = jnp.where(lane_hi, swp, rep)
+                hi32 = jnp.where(lane_hi, rep, swp)
+                ref[...] = jnp.concatenate([lo32, hi32], axis=0)
+        else:
+            m_out_ref[...] = scratch[0:64]
+            hi_out_ref[...] = scratch[64:128]
+            lo_out_ref[...] = scratch[128:192]
 
 
 @partial(jax.jit, static_argnames=("rate", "interpret", "cheap_q",
-                                   "groups"))
+                                   "groups", "rowsplit"))
 def viterbi_acs_banked(rate: str, metric, path_hi, path_lo, cs, cost,
-                       interpret=False, cheap_q=False, groups=1):
+                       interpret=False, cheap_q=False, groups=1,
+                       rowsplit=False):
     """Banked ACS over T = E*P_SUB blocks for a punctured rate.
 
     metric/path_hi/path_lo [64, N] i32; cs/cost [T, N] i32 (N multiple
@@ -643,14 +780,22 @@ def viterbi_acs_banked(rate: str, metric, path_hi, path_lo, cs, cost,
     channels across `groups` lane-groups (planes AND cs/cost), and the
     kernel splits the 64 predecessors across groups with a butterfly
     key reduction. All groups return identical planes/outputs.
+
+    rowsplit (B=7 only, N == 128, <= 64 channels tiled across both
+    lane-halves like groups=2): output states split across the
+    lane-halves so the pred sweep runs on half-height planes.
     """
     T, N = cs.shape
     assert T % P_SUB == 0 and N % LANES == 0
     assert groups == 1 or N == LANES
+    assert not (rowsplit and groups > 1)
+    assert not rowsplit or N == LANES
     nT, nG = T // P_SUB, N // LANES
-    tblA = (_kernel_tables(rate) if groups == 1
+    tblA = (_kernel_tables_rowsplit(rate) if rowsplit
+            else _kernel_tables(rate) if groups == 1
             else _kernel_tables_grouped(rate, groups))
-    kernel = partial(_acs_banked_kernel, rate, cheap_q, groups)
+    kernel = partial(_acs_banked_kernel, rate, cheap_q, groups,
+                     rowsplit)
     blk = pl.BlockSpec((P_SUB, LANES), lambda g, i: (i, g),
                        memory_space=pltpu.VMEM)
     st = pl.BlockSpec((64, LANES), lambda g, i: (0, g),

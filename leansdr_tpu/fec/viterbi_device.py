@@ -522,22 +522,28 @@ def viterbi_decode_banked(plan: ViterbiPlan, state, maps,
     from .viterbi_banked import LANES as VB_LANES
     geo_b7 = bits_in == 7
     slot = 1 << max(0, (ncols - 1)).bit_length()
+    # B=7 lane-surplus strategies (both need the single-slab shape):
+    #  * slot <= 16: pred-on-lanes grouping (>= 8 groups amortize the
+    #    butterfly; 4.3x at 16-ch fleets, docs/PERF.md);
+    #  * slot == 64 (33..64 channels): ROW-SPLIT — states across the
+    #    two lane-halves, half-height candidate planes (2 groups do
+    #    not pay for the butterfly, measured on v5e).
     groups = (min(8, VB_LANES // slot)
-              if geo_b7 and plan.n_lanes == VB_LANES and slot <= 64
+              if geo_b7 and plan.n_lanes == VB_LANES and slot <= 16
               else 1)
-    if groups < 4:
-        # Measured on v5e: 2 lane-groups do not amortize the butterfly
-        # reduction + replicated-plane overhead (64-ch 7/8: grouped-2 is
-        # ~8% slower than the plain pred sweep); grouping pays off from
-        # 4 groups up (16-ch fleets: 4.3x, docs/PERF.md).
-        groups = 1
+    rowsplit = (geo_b7 and plan.n_lanes == VB_LANES
+                and groups == 1 and slot <= 64)
+    tiled = groups > 1 or rowsplit
     m_in, h_in, l_in = (state["metric"], state["path_hi"],
                         state["path_lo"])
-    if groups > 1:
+    if tiled:
+        reps = groups if groups > 1 else 2
+        tslot = slot if groups > 1 else 64
+
         def tile(a, fill=0):
-            a = jnp.pad(a, ((0, 0), (0, slot - a.shape[1])),
+            a = jnp.pad(a, ((0, 0), (0, tslot - a.shape[1])),
                         constant_values=fill)
-            a = jnp.tile(a, (1, groups))
+            a = jnp.tile(a, (1, reps))
             return jnp.pad(
                 a, ((0, 0), (0, VB_LANES - a.shape[1])),
                 constant_values=fill)
@@ -556,9 +562,10 @@ def viterbi_decode_banked(plan: ViterbiPlan, state, maps,
     # discriminant — no cadence approximation for punctured rates.
     m2, h2, l2, us, q = viterbi_acs_banked(
         plan.rate, m_in, h_in, l_in,
-        cs, cost, interpret=interpret, cheap_q=False, groups=groups)
-    if groups > 1:
-        # All groups are identical; keep slot 0 in the stored planes.
+        cs, cost, interpret=interpret, cheap_q=False, groups=groups,
+        rowsplit=rowsplit)
+    if tiled:
+        # All groups/halves are identical; keep slot 0 in the planes.
         def detile(a):
             return jnp.pad(a[:, :slot],
                            ((0, 0), (0, plan.n_lanes - slot)))

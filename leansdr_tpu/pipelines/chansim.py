@@ -148,8 +148,11 @@ def simulate(iq: np.ndarray, cfg: ChansimConfig) -> np.ndarray:
     """Apply the channel to [n,2] float32 IQ."""
     x = np.asarray(iq, dtype=np.float32) * np.float32(cfg.scale)
     if cfg.awgn:
-        seed = (DRAND48_DEFAULT_SEED if cfg.deterministic or cfg.seed is None
-                else ((cfg.seed << 16) | 0x330E) & _M48)
+        # An explicit seed is deterministic by construction (srand48
+        # semantics: state = seed<<16 | 0x330E) and takes precedence;
+        # --deterministic alone keeps the reference's default stream.
+        seed = (((cfg.seed << 16) | 0x330E) & _M48
+                if cfg.seed is not None else DRAND48_DEFAULT_SEED)
         noise, _ = wgn_c(len(x), cfg.awgn, seed)
         x = x + noise
     x = drifter(x, cfg.drifts)

@@ -197,13 +197,99 @@ def test_banked_acs_matches_host_bank(rate):
                           (bank.path[:, geo.orig].T & pmask))
 
 
-@pytest.mark.parametrize("rate", ["3/4", "7/8"])
-def test_banked_fleet_decode_matches_xla(rate):
+def test_banked_acs_rowsplit_matches_host_bank():
+    """Row-split B=7 kernel (states across the lane-halves) ==
+    ViterbiBank bit-for-bit, coarse costs forcing ties; the tiled
+    layout replicates 64 channels into both halves."""
+    from leansdr_tpu.fec import viterbi_banked as vb
+    rate = "7/8"
+    geo = vb.bank_geometry(rate)
+    t = vit.make_trellis(rate)
+    T, C = vb.P_SUB, 64
+    rng = np.random.default_rng(13)
+    cs = rng.integers(0, t.ncs, (T, C)).astype(np.int32)
+    cost = -(rng.integers(0, 4, (T, C)) * 3).astype(np.int32)
+    cs_t = np.tile(cs, (1, 2))
+    cost_t = np.tile(cost, (1, 2))
+
+    m2, h2, l2, us, q = vb.viterbi_acs_banked(
+        rate, jnp.zeros((64, 128), jnp.int32),
+        jnp.zeros((64, 128), jnp.int32), jnp.zeros((64, 128), jnp.int32),
+        jnp.asarray(cs_t), jnp.asarray(cost_t), interpret=True,
+        rowsplit=True)
+    us = np.asarray(us)[:, :C]
+    q = np.asarray(q)[:, :C]
+
+    bank = vit.ViterbiBank(t, C)
+    idx = np.arange(C)
+    for tt in range(T):
+        bus, bq = bank.update(idx, cs[tt].astype(np.int64),
+                              cost[tt].astype(np.int64))
+        assert np.array_equal(us[tt], bus), f"us mismatch at block {tt}"
+        assert np.array_equal(q[tt], bq), f"q mismatch at block {tt}"
+    assert np.array_equal(np.asarray(m2)[:, :C],
+                          bank.cost[:, geo.orig].T.astype(np.int32))
+    # Both lane-halves carry identical unpacked planes.
+    assert np.array_equal(np.asarray(m2)[:, :64], np.asarray(m2)[:, 64:])
+    p64 = ((np.asarray(h2)[:, :C].astype(np.uint32).astype(np.uint64)
+            << 32) | np.asarray(l2)[:, :C].astype(np.uint32))
+    nbits, depth = vit.PATH_SPEC[rate]
+    pmask = np.uint64((1 << min(63, nbits * depth)) - 1)
+    assert np.array_equal(p64 & pmask,
+                          (bank.path[:, geo.orig].T & pmask))
+
+
+def test_rowsplit_track_decode_matches_bank():
+    """TRACK-mode fleet decode through the ROW-SPLIT kernel (7/8 at 40
+    channels: slot 64, channels tiled across the lane-halves) == the
+    host ViterbiBank driven on the tracked block inputs."""
+    from leansdr_tpu.fec.viterbi_device import (
+        MultiViterbiSync, _punctured_block_inputs_tracked)
+    rate, C = "7/8", 40
+    cstln = make_dvbs2_constellation(Predef.QPSK, rate)
+    t = vit.make_trellis(rate)
+    nsamp = 1 << 14
+    rng = np.random.default_rng(17)
+    b = MultiViterbiSync(cstln, rate, C, nsamp, 2.0, banked=True,
+                         interpret=True)
+    b._want_track = True
+    b.apply_pending_transition()
+    assert b.track and b.plan_dec.nsyncs == 1
+    plan = b.plan_dec
+    n = plan.needed
+    sym = rng.integers(0, 4, (n, C)).astype(np.uint8)
+    cost = -(rng.integers(0, 4, (n, C)) * 3).astype(np.int16)
+    b.append(jnp.asarray(sym), jnp.asarray(np.ones((n, C), bool)),
+             jnp.asarray(cost))
+    by, dsel, under = b.decode()
+    assert not np.asarray(under).any()
+
+    cs, co = _punctured_block_inputs_tracked(
+        plan, b.maps, jnp.asarray(sym.astype(np.int32)),
+        jnp.asarray(cost.astype(np.int32)),
+        jnp.zeros(C, jnp.int32))
+    cs, co = np.asarray(cs), np.asarray(co)
+    bank = vit.ViterbiBank(t, C)
+    idx = np.arange(C)
+    uss = np.stack([bank.update(idx, cs[tt].astype(np.int64),
+                                co[tt].astype(np.int64))[0]
+                    for tt in range(plan.nblocks)])      # [T, C]
+    bits_in = t.bits_in
+    shifts = np.arange(bits_in - 1, -1, -1)
+    bits = ((uss.T[:, :, None] >> shifts) & 1).reshape(
+        C, plan.nblocks * bits_in)
+    w = 1 << np.arange(7, -1, -1)
+    exp = (bits.reshape(C, -1, 8) * w).sum(axis=2).astype(np.uint8)
+    assert np.array_equal(np.asarray(by), exp)
+
+
+@pytest.mark.parametrize("rate,C", [("3/4", 3), ("7/8", 3)])
+def test_banked_fleet_decode_matches_xla(rate, C):
     """viterbi_decode_banked == viterbi_decode_xla (both exact vs the
     host bank) through the full fleet decode wrapper — bytes,
     discriminants and elections — plus a TRACK-mode transition."""
     cstln = make_dvbs2_constellation(Predef.QPSK, rate)
-    C, nsamp = 3, 1 << 14
+    nsamp = 1 << 14
     rng = np.random.default_rng(5)
     a = MultiViterbiSync(cstln, rate, C, nsamp, 2.0, banked=False)
     b = MultiViterbiSync(cstln, rate, C, nsamp, 2.0, banked=True,

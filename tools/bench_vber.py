@@ -25,8 +25,14 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+# The reference's series grid (test/leandvb_bench.sh:119-134).
 SERIES = {
+    "1.2sps-hs": ("6/5", [20, 18, 16, 14, 12, 11, 10], {"hs": True}),
+    "2.4sps-hs": ("12/5", [20, 18, 16, 14, 12, 10], {"hs": True}),
+    "4.2sps-hs": ("21/5", [20, 18, 16, 14, 12, 10], {"hs": True}),
     "1.2sps": ("6/5", [22, 21, 20, 19, 18, 17, 16, 15], {}),
+    "4sps-viterbi-rrc": ("4", [6.5, 6.0, 5.5, 5.0, 4.5],
+                         {"viterbi": True, "sampler": "rrc"}),
     "4.2sps": ("21/5", [20, 19, 18, 17, 16, 15, 14], {}),
     "8.2sps": ("41/5", [21, 20, 19, 18], {}),
     "4.2sps-rrc": ("21/5", [16, 15, 14, 13, 12, 11, 10],
@@ -35,24 +41,45 @@ SERIES = {
                        {"viterbi": True}),
     "1.2sps-viterbi-rrc": ("6/5", [10, 9, 8.5, 8, 7, 6, 5, 4],
                            {"viterbi": True, "sampler": "rrc"}),
+    "2.4sps-viterbi-rrc": ("12/5", [8, 7, 6, 5.8, 5.6, 5.4, 5.2, 5.0,
+                                    4.8],
+                           {"viterbi": True, "sampler": "rrc"}),
     "4.2sps-viterbi-rrc": ("21/5", [6, 5, 4.8, 4.6, 4.5, 4.4, 4.3, 4.2,
                                     4.0, 3.8],
+                           {"viterbi": True, "sampler": "rrc"}),
+    "8sps-viterbi-rrc": ("8", [6, 5, 4.8, 4.6, 4.5, 4.4, 4.3, 4.2,
+                               4.0, 3.8],
+                         {"viterbi": True, "sampler": "rrc"}),
+    "32sps-viterbi-rrc": ("32", [6, 5, 4.8, 4.6, 4.5, 4.4, 4.3, 4.2,
+                                 4.0, 3.8],
+                          {"viterbi": True, "sampler": "rrc"}),
+    "satmodem4200-60sps": ("60", [6, 5.2, 5, 4.8, 4.6, 4.4, 4.2, 4.0,
+                                  3.8],
                            {"viterbi": True, "sampler": "rrc"}),
 }
 
 
 def run_point(ratio: str, snrtarget: float, opts: dict,
-              npackets=3000, minpackets=1000, use_ref=False):
+              npackets=3000, minpackets=1000, use_ref=False, seed=None):
     from leansdr_tpu.pipelines import tsgen, dvbs_tx, chansim
     from leansdr_tpu.pipelines.dvbs_rx import DvbsReceiver, RxConfig
-    from leansdr_tpu.util.iofmt import write_iq
+    from leansdr_tpu.util.iofmt import write_iq, read_iq
 
     symbrate = 1e6
     r = Fraction(ratio)
     samprate = symbrate * r.numerator / r.denominator
-    sigpow = snrtarget          # dB; fixed noise floor at 0 dB
-    noisepow = 0.0
-    float_scale = 10 * np.sqrt(float(r))
+    hs = opts.get("hs", False)
+    if hs:
+        # u8/--hs mode: gain set so the u8 modulation amplitude matches
+        # cstln_amp=75 (leandvb_bench.sh:27-31): sigpow 37.5 dB, noise
+        # floor moves instead.
+        sigpow = 37.5
+        noisepow = sigpow - snrtarget
+        float_scale = 0.0
+    else:
+        sigpow = snrtarget          # dB; fixed noise floor at 0 dB
+        noisepow = 0.0
+        float_scale = 10 * np.sqrt(float(r))
 
     pkts = tsgen.generate(npackets)
     txcfg = dvbs_tx.TxConfig(
@@ -60,16 +87,21 @@ def run_point(ratio: str, snrtarget: float, opts: dict,
         interp=r.numerator, decim=r.denominator)
     iq = dvbs_tx.modulate(pkts, txcfg)
     ch = chansim.ChansimConfig(
-        awgn=float(np.exp(np.log(10) * noisepow / 20)), deterministic=True)
+        awgn=float(np.exp(np.log(10) * noisepow / 20)),
+        deterministic=True, seed=seed)
     iq = chansim.simulate(iq, ch)
+    if hs:
+        # u8 on the wire (leanchansim --ou8): quantize and re-center.
+        iq = read_iq(write_iq(iq, "u8"), "u8")
 
     if use_ref:
         return _run_ref_point(iq, samprate, symbrate, float_scale, opts,
                               minpackets)
 
     cfg = RxConfig(Fs=samprate, Fm=symbrate, rate="1/2",
-                   float_scale=float_scale, anf=0,
-                   cnr=samprate > 3 * symbrate, fastlock=False, **opts)
+                   float_scale=(1.0 if hs else float_scale), anf=0,
+                   cnr=(not hs) and samprate > 3 * symbrate,
+                   fastlock=False, **opts)
     rx = DvbsReceiver(cfg)
     CH = 1 << 17
     vber_samples = []
@@ -102,10 +134,13 @@ def _run_ref_point(iq, samprate, symbrate, float_scale, opts, minpackets):
         flags.append("--viterbi")
     if opts.get("sampler"):
         flags += ["--sampler", opts["sampler"]]
+    hs = opts.get("hs", False)
+    if hs:
+        flags += ["--u8", "--hs"]
     cmd = [str(ref / "leandvb"), "--f32", "--float-scale", str(float_scale),
            "-f", str(samprate), "--sr", str(symbrate), "--anf", "0",
            "--fd-info", "2"] + flags
-    p = subprocess.run(cmd, input=write_iq(iq, "f32"),
+    p = subprocess.run(cmd, input=write_iq(iq, "u8" if hs else "f32"),
                        capture_output=True)
     state = {"cnr": 0.0, "ss": 0.0, "mer": 0.0,
              "vbermin": 1e9, "vbermax": 0.0, "locktime_max": 0}
@@ -140,6 +175,9 @@ def main():
     ap.add_argument("--npackets", type=int, default=3000)
     ap.add_argument("--snr", type=float, default=None,
                     help="run only this SNR point")
+    ap.add_argument("--seed", type=int, default=None,
+                    help="srand48-style noise seed (default: the "
+                         "reference's --deterministic stream)")
     ap.add_argument("--out", default="leandvb_bench_results.txt")
     args = ap.parse_args()
 
@@ -149,24 +187,25 @@ def main():
     commit = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
                             capture_output=True, text=True).stdout.strip()
     platform = "ref_leandvb" if args.ref else "leansdr_tpu"
+    seedtag = "" if args.seed is None else f" seed={args.seed}"
     for name in sel:
         ratio, snrs, opts = SERIES[name]
-        rows.append(f"\n# {name}.")
+        rows.append(f"\n# {name}.{seedtag}")
         for snr in snrs:
             if args.snr is not None and abs(snr - args.snr) > 1e-9:
                 continue
             r = run_point(ratio, snr, opts, npackets=args.npackets,
-                          use_ref=args.ref)
+                          use_ref=args.ref, seed=args.seed)
             if r is None or "vbermin" not in r:
                 lt = (r or {}).get("locktime_max", 0)
-                msg = (f"{name} snr={snr}: no lock"
+                msg = (f"{name} snr={snr}{seedtag}: no lock"
                        f" (max continuous locktime {lt} packets)")
                 print(msg)
                 rows.append(f"# {platform} {float(Fraction(ratio)):.2f} "
-                            f"{snr:.2f} NOLOCK locktime_max={lt}")
+                            f"{snr:.2f}{seedtag} NOLOCK locktime_max={lt}")
                 continue
             row = (f"git:{commit} {platform} {float(Fraction(ratio)):.2f} "
-                   f"{snr:.2f} {r['cnr']} {r['ss']} {r['mer']} "
+                   f"{snr:.2f}{seedtag} {r['cnr']} {r['ss']} {r['mer']} "
                    f"{r['vbermin']:.2e} {r['vbermax']:.2e}")
             print(row)
             rows.append(row)
