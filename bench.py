@@ -216,17 +216,22 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
     chain = _chain_bench()
-    # Punctured-rate fleet Viterbi (banked ACS kernel): 16-channel
-    # fleets at the reference's most-used high-sensitivity rates.
-    # Real time for 16 x 2 Msps is 32 Msamples/s aggregate.
+    # Punctured-rate fleet Viterbi (banked ACS kernel) at the NORTH-STAR
+    # shape: 64-channel fleets at the reference's most-used
+    # high-sensitivity rates (real time for 64 x 2 Msps = 128 Msps
+    # aggregate), plus the 16-channel rows for round-over-round
+    # continuity (real time = 32 Msps).
     punct = {}
-    for r, key in (("3/4", "chain34"), ("7/8", "chain78")):
+    for r, key, nc, rt in (("3/4", "chain34", 64, 128.0),
+                           ("7/8", "chain78", 64, 128.0),
+                           ("3/4", "chain34", 16, 32.0),
+                           ("7/8", "chain78", 16, 32.0)):
         try:
-            v = _chain_bench(rate=r, nchan=16)
-            punct[f"{key}_viterbi_msps_16ch"] = round(v, 1)
-            punct[f"{key}_realtime_x_16x2msps"] = round(v / 32.0, 2)
+            v = _chain_bench(rate=r, nchan=nc)
+            punct[f"{key}_viterbi_msps_{nc}ch"] = round(v, 1)
+            punct[f"{key}_realtime_x_{nc}x2msps"] = round(v / rt, 2)
         except Exception as e:
-            punct[f"{key}_error"] = repr(e)[:200]
+            punct[f"{key}_{nc}ch_error"] = repr(e)[:200]
     peak = _demod_peak()
     try:
         import sys

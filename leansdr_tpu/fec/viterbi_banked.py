@@ -593,45 +593,61 @@ def _acs_banked_kernel(rate: str, cheap_q: bool, groups: int,
     def block_rowsplit(t, ro_in, ro_out, want_q, cs_b, c_b):
         """B=7 at 64 channels: states on half-height planes, channels
         replicated across the lane-halves. Every candidate op is
-        [32, LANES] (4 native vregs, half the full-plane sweep); the
-        pred metric is one dynamic row read + a half-swap roll. The
-        packed keys stay globally unique, so the strict-< running min
-        is exact as in the other paths."""
+        [32, LANES] (4 native vregs, half the full-plane sweep). Each
+        ALIGNED [8, N] plane read serves 16 predecessors: row r carries
+        pred r (lanes 0-63) and pred 32+r (lanes 64-127), split out by
+        one half-swap roll. The packed keys stay globally unique, so
+        the strict-< running min is exact as in the other paths."""
         rcs = (ncs - 1) - cs_b
         cshift = c_b << RB
         us_mask = jnp.int32(0x7F)
         BIGc = jnp.full((32, LANES), BIG, jnp.int32)
         z = jnp.zeros((32, LANES), jnp.int32)
+        lmask = half_idx == 0                        # [1, N] lanes < 64
 
-        def body(p, carry):
+        def body(b8, carry):
             run_key, run_hi, run_lo, run_tc = carry
-            pr = p & 31
-            ph = p >> 5
-            sel = half_idx == ph
-
-            def bcast(off):
-                row = scratch[pl.ds(ro_in + off + pr, 1)]   # [1, N]
-                return jnp.where(sel, row,
-                                 pltpu.roll(row, shift=64, axis=1))
-
-            mk, hk, lk = bcast(0), bcast(64), bcast(128)
-            tc = tblA_ref[pl.ds(p * 32, 32), :]             # [32, N]
-            rk = tc & 0xFF
-            rk2 = (tc >> 8) & 0xFF
-            base = mk << RB
-            p1 = base | rk
-            p2 = base | rk2
-            provk = (base + cshift) | ncs
-            prov = jnp.where((rk == rcs) | (rk2 == rcs), provk, BIG)
-            key_k = jnp.minimum(jnp.minimum(p1, p2), prov)
-            cond = key_k < run_key
-            return (jnp.where(cond, key_k, run_key),
-                    jnp.where(cond, hk, run_hi),
-                    jnp.where(cond, lk, run_lo),
-                    jnp.where(cond, tc, run_tc))
+            r0 = b8 * 8
+            m8 = scratch[pl.ds(ro_in + r0, 8)]
+            h8 = scratch[pl.ds(ro_in + 64 + r0, 8)]
+            l8 = scratch[pl.ds(ro_in + 128 + r0, 8)]
+            tcA = tblA_ref[pl.ds(r0 * 32, 8 * 32), :]
+            tcB = tblA_ref[pl.ds((32 + r0) * 32, 8 * 32), :]
+            for ki in range(8):
+                rowm = m8[ki:ki + 1]
+                rowh = h8[ki:ki + 1]
+                rowl = l8[ki:ki + 1]
+                rm = pltpu.roll(rowm, shift=64, axis=1)
+                rh = pltpu.roll(rowh, shift=64, axis=1)
+                rl = pltpu.roll(rowl, shift=64, axis=1)
+                for half, tch in ((0, tcA), (1, tcB)):
+                    if half == 0:
+                        mk = jnp.where(lmask, rowm, rm)
+                        hk = jnp.where(lmask, rowh, rh)
+                        lk = jnp.where(lmask, rowl, rl)
+                    else:
+                        mk = jnp.where(lmask, rm, rowm)
+                        hk = jnp.where(lmask, rh, rowh)
+                        lk = jnp.where(lmask, rl, rowl)
+                    tc = tch[ki * 32:(ki + 1) * 32]
+                    rk = tc & 0xFF
+                    rk2 = (tc >> 8) & 0xFF
+                    base = mk << RB
+                    p1 = base | rk
+                    p2 = base | rk2
+                    provk = (base + cshift) | ncs
+                    prov = jnp.where((rk == rcs) | (rk2 == rcs),
+                                     provk, BIG)
+                    key_k = jnp.minimum(jnp.minimum(p1, p2), prov)
+                    cond = key_k < run_key
+                    run_key = jnp.where(cond, key_k, run_key)
+                    run_hi = jnp.where(cond, hk, run_hi)
+                    run_lo = jnp.where(cond, lk, run_lo)
+                    run_tc = jnp.where(cond, tc, run_tc)
+            return run_key, run_hi, run_lo, run_tc
 
         run_key, run_hi, run_lo, run_tc = jax.lax.fori_loop(
-            0, NSTATES, body, (BIGc, z, z, z))
+            0, 4, body, (BIGc, z, z, z))
         wm = run_key >> RB
         uh = (run_tc >> 16) & us_mask
         ul = (run_tc >> 23) & us_mask
