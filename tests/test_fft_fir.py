@@ -48,6 +48,22 @@ def test_fir_mxu_band_limit():
         make_bands(np.ones(130, np.float32))
 
 
+def test_fft4096_pallas_matches_numpy():
+    """Fused single-pass Pallas FFT (dsp/fft_pallas.py, a kernel study
+    — see docs/PERF.md for why the XLA four-step remains the shipped
+    path) vs np.fft.fft."""
+    from leansdr_tpu.dsp.fft_pallas import fft4096_pallas
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(8, 4096)) + 1j * rng.normal(size=(8, 4096))
+    yr, yi = fft4096_pallas(jnp.asarray(x.real, jnp.float32),
+                            jnp.asarray(x.imag, jnp.float32),
+                            interpret=True)
+    ref = np.fft.fft(x)
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+    assert err < 2e-5, err
+
+
 def test_fir_mxu_valid_matches_convolve():
     """fir_mxu_valid: VALID-mode correlation with in-band history and
     arbitrary (non-128-multiple) lengths."""
