@@ -34,13 +34,15 @@ NCHAN_PEAK = 2048    # demod-kernel sweet spot on v5e
 CH = 1 << 18         # samples per chunk per channel
 
 
-def _chain_bench(rate="1/2", nchan=NCHAN_CHAIN):
+def _chain_bench(rate="1/2", nchan=NCHAN_CHAIN, segments=1):
     """Msamples/s/chip through mf-RRC + demod kernel + device Viterbi.
 
     rate selects the Viterbi path: 1/2 runs the constant-geometry
     Pallas ACS bank, punctured rates run the banked ACS kernel
     (fec/viterbi_banked.py, incl. the pred-on-lanes grouped 7/8 mode
-    for small fleets)."""
+    for small fleets).  segments > 1 enables the time-segmented demod
+    (pipelines/multi_rx._demod_segmented): each channel's chunk splits
+    into lane-parallel segments, filling idle kernel lanes."""
     import jax
     import jax.numpy as jnp
     from leansdr_tpu.pipelines import tsgen, dvbs_tx
@@ -58,7 +60,7 @@ def _chain_bench(rate="1/2", nchan=NCHAN_CHAIN):
         RxConfig(Fs=4e6, Fm=2e6, rate=rate, fastlock=True,
                  float_scale=75.0, exact_lut=False, viterbi=True,
                  sampler="rrc"),
-        nchan, chunk_samples=CH)
+        nchan, chunk_samples=CH, segments=segments, seg_holdoff=0)
     ra = rx.params.readahead + (len(rx.mf_taps) - 1
                                 if rx.mf_taps is not None else 0)
     nwin = 4
@@ -211,8 +213,20 @@ def main():
 
     import jax
     from pathlib import Path
+    # Machine-keyed cache subdir: XLA AOT results embed host CPU
+    # features, and a stale cache from a different host loads anyway
+    # with wrong-numerics/SIGILL risk (see tests/conftest.py).
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            _cpu = next((l for l in f if l.startswith("flags")), "")
+    except OSError:
+        import platform
+        _cpu = platform.processor()
+    tag = hashlib.sha1(_cpu.encode()).hexdigest()[:8]
     jax.config.update("jax_compilation_cache_dir",
-                      str(Path(__file__).resolve().parent / ".jax_cache"))
+                      str(Path(__file__).resolve().parent
+                          / ".jax_cache" / tag))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
     chain = _chain_bench()

@@ -38,6 +38,9 @@ def usage(code=0, f=sys.stderr):
         "       --acq   per-channel FFT coarse carrier search on the\n"
         "               first chunk; each channel is derotated by its\n"
         "               estimate (accelerator; not in the reference)\n"
+        "       --segments S   time-segmented demod: split each chunk\n"
+        "               into S lane-parallel segments (fills idle demod\n"
+        "               lanes; approximate splices, TS-level parity)\n"
         "Output: --out-template PATTERN   per-channel files (printf-style"
         " %d)\n"
         "        (default: tagged multiplex [u32 chan][u32 npkts][TS] on"
@@ -53,7 +56,7 @@ def parse_args(argv):
 
     cfg = RxConfig()
     opts = {"input": "f32", "nchan": 0, "out_template": None,
-            "fd_info": -1, "chunk": 1 << 16, "acq": False}
+            "fd_info": -1, "chunk": 1 << 16, "acq": False, "segments": 1}
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -75,6 +78,8 @@ def parse_args(argv):
             opts["fd_info"] = int(val())
         elif a == "--acq":
             opts["acq"] = True
+        elif a == "--segments":
+            opts["segments"] = int(val())
         elif a in ("--u8", "--s8", "--u16", "--s16", "--f32"):
             opts["input"] = a[2:]
         elif handle_dvbs_flag(a, val, cfg):
@@ -104,7 +109,8 @@ def main(argv=None):
     from ..util.info import InfoWriter
 
     nchan = opts["nchan"]
-    rx = MultiDvbsReceiver(cfg, nchan, chunk_samples=opts["chunk"])
+    rx = MultiDvbsReceiver(cfg, nchan, chunk_samples=opts["chunk"],
+                           segments=opts["segments"])
     dtype, tofloat = _DTYPES[opts["input"]]
     itemsize = np.dtype(dtype).itemsize
     frame_bytes = nchan * 2 * itemsize

@@ -60,12 +60,230 @@ def _pack_fetch(nd: int, fill: jnp.ndarray, *flat):
     return jnp.concatenate(parts, axis=1)
 
 
+def _wrap_u16(p):
+    """Wrap a u16-unit angle (65536 = 2*pi) into [0, 65536)."""
+    return p - jnp.floor(p / 65536.0) * 65536.0
+
+
+_SEG_T = 64     # boundary handover window (rows)
+
+
+def _demod_segmented(params, sym_consts, mf_taps, nchan, S, W, want_cost,
+                     use_pallas, interpret, tables, dem_state, x):
+    """Warmup-approximate time-segmented demod (docs/PERF.md "Segmented
+    demod"): each channel's chunk is split into S time segments
+    demodulated in PARALLEL kernel lanes, filling the lane slots a small
+    fleet leaves idle (the per-step cost at fleet shapes is
+    issue/latency-bound, so S segments cost ~the wall time of one).
+
+    Exactness model: the per-sample PLL/timing recurrence (sdr.h:800-847)
+    is strictly sequential, so segment s>0 cannot start from the TRUE
+    state.  It starts from a PREDICTION — the chunk-carried state with
+    the phase advanced by freqw * offset (the only state component with
+    a large deterministic drift) — plus W samples of re-convergence
+    warmup whose outputs are discarded.  Segment 0 needs neither: it
+    starts AT the chunk head, where the carried state is exact, so chunk
+    boundaries are sequential-exact and only the S-1 internal splices
+    are approximate.  In TRACK the loops re-converge well inside W=2048
+    samples (phase prediction error = freqw estimation error x offset
+    << pi/4, so the PLL relocks in the SAME quadrant and splices carry
+    no rotation).
+
+    Splice handover: converged trajectories still carry +-1-sample
+    emission jitter (mu hovers at the emit threshold), so a blind
+    row-cut at the boundary occasionally duplicates or drops one symbol
+    — a sync-burst per event downstream.  Instead, each boundary is cut
+    inside a T-row overlap window (outgoing segment's owned tail vs
+    incoming segment's warmup tail, both already computed) at the first
+    row where BOTH trajectories emit the SAME symbol at the SAME row:
+    the outgoing segment contributes everything through that emission,
+    the incoming one everything after it — no duplicate, no gap.  If no
+    aligned emission exists in the window (pre-lock, or persistently
+    anti-aligned jitter) it falls back to the blind boundary cut.
+
+    Opt-in (MultiDvbsReceiver(segments=S)); acquisition transients are
+    absorbed by the deconvolver's per-sub-block sync election.
+    Returns (dem_state, sym [n,C], valid, cost).
+    """
+    from ..dsp import receiver
+    from ..dsp.mf_prefilter import mf_prefilter
+    C = nchan
+    T = _SEG_T
+    ntaps1 = (len(mf_taps) - 1) if mf_taps is not None else 0
+    ra = params.readahead + ntaps1
+    n = x.shape[1] - ra
+    nseg = n // S
+    if nseg < W or nseg < T:
+        raise ValueError(f"chunk/segments = {nseg} < warmup {W}")
+    L = W + nseg + ra
+    # Segment windows, all inside x: segment 0 starts at the chunk head
+    # (exact carried state, owned rows [0, nseg)); segment s>0 starts
+    # W samples early (predicted state, owned rows [W, W+nseg)).
+    offs = [0] + [s * nseg - W for s in range(1, S)]
+    segs = jnp.stack([x[:, o:o + L] for o in offs])
+    xs = segs.reshape(S * C, L, 2)               # lane l = s*C + c
+    # Predicted phase: sample offset from the carried state's position
+    # (chunk head) to each segment's window start, x freqw, wrapped mod
+    # 65536 in two exact steps (offsets are multiples of 128).
+    offv = jnp.repeat(jnp.asarray(np.array(offs, np.float32)), C)
+    if use_pallas:
+        from ..dsp import receiver_pallas as rp
+        planes = dem_state.reshape(rp.NSTATE, -1)[:, :C]
+        rep = jnp.tile(planes, (1, S))           # [NSTATE, S*C] s-major
+        adv = _wrap_u16(_wrap_u16(rep[2] * 128.0) * (offv / 128.0))
+        rep = rep.at[1].set(_wrap_u16(rep[1] + adv))
+        if mf_taps is not None:
+            xs = mf_prefilter(mf_taps, rep[2], xs)
+        nsub = max(1, -(-(S * C) // rp.LANE))
+        planes_in = jnp.pad(rep, ((0, 0), (0, nsub * rp.LANE - S * C))
+                            ).reshape(rp.NSTATE, nsub, rp.LANE)
+        st_out, packed = rp.demod_pallas(params, sym_consts, planes_in,
+                                         xs, interpret=interpret)
+        sym, valid, cost = _extract_sym_valid(packed, S * C, want_cost)
+        pl_out = st_out.reshape(rp.NSTATE, -1)[:, (S - 1) * C:S * C]
+        nsub_c = max(1, -(-C // rp.LANE))
+        dem_state = jnp.pad(pl_out, ((0, 0), (0, nsub_c * rp.LANE - C))
+                            ).reshape(rp.NSTATE, nsub_c, rp.LANE)
+    else:
+        rep_state = {k: jnp.tile(v, (S,) + (1,) * (v.ndim - 1))
+                     for k, v in dem_state.items()}
+        adv = _wrap_u16(_wrap_u16(rep_state["freqw"] * 128.0)
+                        * (offv / 128.0))
+        rep_state["phase"] = _wrap_u16(rep_state["phase"] + adv)
+        if mf_taps is not None:
+            xs = mf_prefilter(mf_taps, rep_state["freqw"], xs)
+        st_out, out = receiver.run_chunks(params, tables, rep_state, xs)
+        sym = out["symbol"].T                     # [W+nseg, S*C]
+        valid = out["valid"].T
+        cost = out["cost"].T if want_cost else None
+        dem_state = {k: v[(S - 1) * C:] for k, v in st_out.items()}
+
+    # Local arrays are [W+nseg, S*C].  Per-segment views:
+    def seg_of(a, s):
+        return a[:, s * C:(s + 1) * C]
+
+    def owned_rows(s):
+        lo = 0 if s == 0 else W
+        return lo, lo + nseg
+
+    # -- Rotation correction ------------------------------------------------
+    # A segment's PLL locks to the quadrant its predicted phase lands in;
+    # under noise the freqw estimate error x a multi-thousand-sample
+    # offset regularly exceeds pi/4, so an incoming trajectory can be
+    # locked a QPSK quadrant away from the outgoing one.  Emission
+    # timing, costs and the loop dynamics are all rotation-invariant for
+    # the symmetric QPSK grid (muerr is built from p.c dot products), so
+    # the rotation shows up ONLY as a fixed relabeling of the hard
+    # decisions — estimated per boundary from decision agreement in the
+    # overlap window (right rotation agrees ~all emissions, wrong ones
+    # ~1/4) and undone by a label permutation, with the carried state's
+    # phase derotated to match.  perms[r] maps the incoming trajectory's
+    # labels into the outgoing frame for a lock offset of r*90 degrees
+    # (layout 0:(+,+) 1:(+,-) 2:(-,+) 3:(-,-); +90 deg of lock phase
+    # rotates the derotated samples by -90: (I,Q)->(Q,-I)).
+    qpsk = params.nsymbols == 4
+    perms = jnp.asarray([[0, 1, 2, 3], [2, 0, 3, 1],
+                         [3, 2, 1, 0], [1, 3, 0, 2]], jnp.uint8)
+    dphase = jnp.asarray([0.0, 16384.0, 32768.0, -16384.0], jnp.float32)
+
+    # Handover cuts: window rows w map to global rows s*nseg - T + w.
+    # The anchor is an emission of the SAME symbol by both trajectories
+    # at rows offset by at most one (the two timing loops can settle in
+    # opposite emission parities — at omega=2 the +-half-sample offsets
+    # are symmetric attractors — so same-row matches alone can be empty
+    # for a whole window).  Cases, with cut = row after BOTH copies of
+    # the anchor symbol:
+    #   case0  a and b emit at w        -> cut w+1
+    #   case1  a at w, b at w+1         -> cut w+2, needs a silent at w+1
+    #   case2  a at w+1, b at w         -> cut w+2, needs b silent at w+1
+    # (the silence guards keep the next symbol from being duplicated or
+    # dropped when emissions come only one row apart).  Rows < cut come
+    # from the outgoing trajectory, >= cut from the incoming one; if no
+    # anchor exists (pre-lock garbage) fall back to the blind cut at the
+    # boundary.
+    sym_corr = [seg_of(sym, 0)]          # corrected [W+nseg, C] slices
+    masks = []
+    rot_total = jnp.zeros((C,), jnp.float32)
+    for s in range(1, S):
+        lo_a = (0 if s == 1 else W) + nseg - T
+        va = seg_of(valid, s - 1)[lo_a:lo_a + T]
+        sa = sym_corr[s - 1][lo_a:lo_a + T]
+        vb = seg_of(valid, s)[W - T:W]
+        sb_raw = seg_of(sym, s)
+        if qpsk:
+            cnt = []
+            for r in range(4):
+                sbr = perms[r][sb_raw[W - T:W]]
+                m = (va[:-1] & vb[:-1] & (sa[:-1] == sbr[:-1])) \
+                    | (va[:-1] & vb[1:] & (sa[:-1] == sbr[1:])) \
+                    | (va[1:] & vb[:-1] & (sa[1:] == sbr[:-1]))
+                cnt.append(m.sum(axis=0))
+            cnt = jnp.stack(cnt)                       # [4, C]
+            rhat = jnp.argmax(cnt, axis=0)             # [C]
+            # Require real evidence; keep labels raw pre-lock.
+            rhat = jnp.where(cnt.max(axis=0) >= T // 8, rhat, 0)
+            sseg = perms[rhat[None, :], sb_raw]        # relabeled segment
+            # rhat maps segment s's raw labels into the BASE frame (the
+            # outgoing side is already corrected), so the last boundary's
+            # rotation IS the carried trajectory's offset vs the stream.
+            rot_total = dphase[rhat]
+        else:
+            sseg = sb_raw
+        sym_corr.append(sseg)
+        sb = sseg[W - T:W]
+        c0 = va[:-1] & vb[:-1] & (sa[:-1] == sb[:-1])        # [T-1, C]
+        c1 = va[:-1] & vb[1:] & (sa[:-1] == sb[1:]) & ~va[1:]
+        c2 = va[1:] & vb[:-1] & (sa[1:] == sb[:-1]) & ~vb[1:]
+        anyc = c0 | c1 | c2
+        first = jnp.argmax(anyc, axis=0)                     # [C]
+        same_row = jnp.take_along_axis(c0, first[None], 0)[0]
+        cut = jnp.where(same_row, first + 1, first + 2)
+        cut = jnp.where(anyc.any(axis=0), cut, T)
+        masks.append(jnp.arange(T)[:, None] >= cut[None, :])
+
+    # Derotate the carried state's lock phase into the stream frame so
+    # the next chunk's segment 0 continues unrotated.
+    if qpsk:
+        if use_pallas:
+            from ..dsp import receiver_pallas as rp
+            flat = dem_state.reshape(rp.NSTATE, -1)
+            ph = _wrap_u16(flat[1, :C] - rot_total)
+            dem_state = flat.at[1, :C].set(ph).reshape(dem_state.shape)
+        else:
+            dem_state = dict(
+                dem_state,
+                phase=_wrap_u16(dem_state["phase"] - rot_total))
+
+    def splice(a, segs=None):
+        parts = []
+        for s in range(S):
+            lo, hi = owned_rows(s)
+            parts.append((segs[s] if segs else seg_of(a, s))[lo:hi])
+        out = jnp.concatenate(parts, axis=0)
+        for s in range(1, S):
+            lo_a = (0 if s == 1 else W) + nseg - T
+            pa = (segs[s - 1] if segs else seg_of(a, s - 1)
+                  )[lo_a:lo_a + T]
+            pb = (segs[s] if segs else seg_of(a, s))[W - T:W]
+            patch = jnp.where(masks[s - 1], pb, pa)
+            out = jax.lax.dynamic_update_slice_in_dim(
+                out, patch, s * nseg - T, axis=0)
+        return out
+
+    sym = splice(sym, sym_corr)
+    valid = splice(valid)
+    cost = splice(cost) if want_cost else None
+    return dem_state, sym, valid, cost
+
+
 @partial(jax.jit, static_argnames=(
     "params", "sym_consts", "mf_taps", "nchan", "kind", "plan",
-    "plan_dec", "maps", "schedule", "use_pallas", "interpret"))
+    "plan_dec", "maps", "schedule", "use_pallas", "interpret",
+    "segments", "seg_warmup"))
 def _fused_chunk(params, sym_consts, mf_taps, nchan, kind, plan, plan_dec,
                  maps, schedule, use_pallas, interpret,
-                 tables, dem_state, dstate, x):
+                 tables, dem_state, dstate, x,
+                 segments=1, seg_warmup=2048):
     """ONE device program for a whole chunk: [matched filter] -> demod
     (Pallas kernel or XLA scan) -> sym/valid/cost extraction -> ring
     append(s) -> `schedule` decodes -> the packed fetch buffer.
@@ -82,20 +300,26 @@ def _fused_chunk(params, sym_consts, mf_taps, nchan, kind, plan, plan_dec,
     from ..fec.deconv_device import deconv_append, deconv_decode
     from ..fec.viterbi_device import viterbi_decode
     want_cost = kind.startswith("viterbi")
-    if mf_taps is not None:
-        freqw = (dem_state[2].reshape(-1)[:nchan] if use_pallas
-                 else dem_state["freqw"])
-        x = mf_prefilter(mf_taps, freqw, x)
-    if use_pallas:
-        from ..dsp import receiver_pallas as rp
-        dem_state, packed = rp.demod_pallas(params, sym_consts, dem_state,
-                                            x, interpret=interpret)
-        sym, valid, cost = _extract_sym_valid(packed, nchan, want_cost)
+    if segments > 1:
+        dem_state, sym, valid, cost = _demod_segmented(
+            params, sym_consts, mf_taps, nchan, segments, seg_warmup,
+            want_cost, use_pallas, interpret, tables, dem_state, x)
     else:
-        dem_state, out = receiver.run_chunks(params, tables, dem_state, x)
-        sym = out["symbol"].T
-        valid = out["valid"].T
-        cost = out["cost"].T if want_cost else None
+        if mf_taps is not None:
+            freqw = (dem_state[2].reshape(-1)[:nchan] if use_pallas
+                     else dem_state["freqw"])
+            x = mf_prefilter(mf_taps, freqw, x)
+        if use_pallas:
+            from ..dsp import receiver_pallas as rp
+            dem_state, packed = rp.demod_pallas(
+                params, sym_consts, dem_state, x, interpret=interpret)
+            sym, valid, cost = _extract_sym_valid(packed, nchan, want_cost)
+        else:
+            dem_state, out = receiver.run_chunks(params, tables,
+                                                 dem_state, x)
+            sym = out["symbol"].T
+            valid = out["valid"].T
+            cost = out["cost"].T if want_cost else None
     n = sym.shape[0]
     step = plan.nsamp
     flat = []
@@ -310,9 +534,33 @@ class MultiDvbsReceiver:
     vectorized host byte backend."""
 
     def __init__(self, cfg: RxConfig, nchan: int, use_pallas=None,
-                 chunk_samples: int | None = None, native=None):
+                 chunk_samples: int | None = None, native=None,
+                 segments: int = 1, seg_warmup: int = 2048,
+                 seg_holdoff: int = 8):
         self.cfg = cfg
         self.nchan = nchan
+        # Opt-in time-segmented demod (see _demod_segmented): split each
+        # chunk into `segments` lane-parallel segments with `seg_warmup`
+        # samples of discarded re-convergence warmup per segment.  The
+        # first `seg_holdoff` chunks run sequentially: the segmented
+        # carried state only adapts over (warmup + chunk/segments)
+        # samples per chunk, so engaging segmentation from cold stretches
+        # acquisition ~segments-fold; holding off until the loops have
+        # locked costs nothing in steady state (both programs stay
+        # compiled).
+        if segments < 1:
+            raise ValueError("segments must be >= 1")
+        if seg_warmup % receiver.CHUNK:
+            raise ValueError(
+                f"seg_warmup must be a multiple of {receiver.CHUNK}")
+        if segments > 1 and segments * nchan > 1024:
+            raise ValueError(
+                f"segments*nchan = {segments * nchan} exceeds the 1024 "
+                "demod kernel lane capacity")
+        self.segments = segments
+        self.seg_warmup = seg_warmup
+        self.seg_holdoff = seg_holdoff
+        self._chunk_count = 0
         cstln = make_dvbs2_constellation(cfg.constellation, cfg.rate)
         self.cstln = cstln
         exact = resolve_exact_lut(cfg.exact_lut)
@@ -431,7 +679,8 @@ class MultiDvbsReceiver:
         if isinstance(iq, jnp.ndarray) and not isinstance(iq, np.ndarray) \
                 and not preproc \
                 and self.sample_backlog.shape[1] == 0 \
-                and (iq.shape[1] - ra) % receiver.CHUNK == 0:
+                and (iq.shape[1] - ra) % (receiver.CHUNK
+                                          * self.segments) == 0:
             # Device-resident fast path (only when no host preprocessing
             # stage is configured — it must not silently skip them).
             x = iq
@@ -455,6 +704,7 @@ class MultiDvbsReceiver:
             self.sample_backlog = np.concatenate(
                 [self.sample_backlog, iq], axis=1)
             K = (self.sample_backlog.shape[1] - ra) // receiver.CHUNK
+            K -= K % self.segments       # nseg must stay CHUNK-aligned
             if K <= 0:
                 return None
             n = K * receiver.CHUNK
@@ -475,6 +725,8 @@ class MultiDvbsReceiver:
             self.deconv.note_production(max(0, int(m / self.omega) - 8))
             schedule.append(self.deconv.schedule_decode())
         dem_state = self._planes if self.use_pallas else self.state
+        S = (self.segments
+             if self._chunk_count >= self.seg_holdoff else 1)
         dem_state, dstate, packed_out = _fused_chunk(
             self.params,
             self._sym_consts if self.use_pallas else None,
@@ -484,7 +736,9 @@ class MultiDvbsReceiver:
             (self._interpret if self.use_pallas
              else getattr(self.deconv, "interpret", False)),
             None if self.use_pallas else self.tables,
-            dem_state, self.deconv.state, x)
+            dem_state, self.deconv.state, x,
+            segments=S, seg_warmup=self.seg_warmup)
+        self._chunk_count += 1
         if self.use_pallas:
             self._planes = dem_state
         else:
@@ -606,6 +860,7 @@ class MultiDvbsReceiver:
             "backend": self.backend.save_blob(),
             "backend_native": type(self.backend).__name__,
             "sample_backlog": self.sample_backlog,
+            "chunk_count": self._chunk_count,
         })
 
     def load_state(self, blob: bytes) -> None:
@@ -629,6 +884,7 @@ class MultiDvbsReceiver:
                 f"or native= to match)")
         self.backend.restore_blob(d["backend"])
         self.sample_backlog = d["sample_backlog"]
+        self._chunk_count = d.get("chunk_count", 0)
 
     def metrics(self):
         """Per-channel measurement snapshot (one small host fetch —

@@ -20,9 +20,22 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Key the persistent cache by the host CPU: XLA:CPU AOT results embed
+# target machine features, and a cache written on a different host is
+# loaded anyway with a "could lead to SIGILL" warning (observed to
+# produce wrong numerics when rounds run on heterogeneous machines).
+import hashlib
+
+try:
+    with open("/proc/cpuinfo") as f:
+        _cpu = next((l for l in f if l.startswith("flags")), "")
+except OSError:
+    import platform
+    _cpu = platform.processor()
+_tag = hashlib.sha1(_cpu.encode()).hexdigest()[:8]
 jax.config.update("jax_compilation_cache_dir",
                   str(Path(__file__).resolve().parent.parent
-                      / ".jax_cache"))
+                      / ".jax_cache" / _tag))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 import subprocess

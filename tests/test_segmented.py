@@ -1,0 +1,101 @@
+"""Time-segmented demod (MultiDvbsReceiver(segments=S), docs/PERF.md
+"Segmented demod"): each channel's chunk is demodulated as S
+lane-parallel segments with predicted-state warmup. Approximate by
+design — acceptance is TS-level: the segmented receiver must decode the
+same packets as the sequential one after lock.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from leansdr_tpu.pipelines import tsgen, dvbs_tx
+from leansdr_tpu.pipelines.dvbs_rx import RxConfig
+from leansdr_tpu.pipelines.multi_rx import MultiDvbsReceiver
+
+
+def _stimulus(nchan, npackets, rate="1/2"):
+    iqs, payloads = [], []
+    for c in range(nchan):
+        pkts = tsgen.generate(npackets, start=1000 * c)
+        iq = dvbs_tx.modulate(pkts, dvbs_tx.TxConfig(rate=rate, interp=2))
+        iqs.append(iq)
+        payloads.append(pkts)
+    n = min(len(q) for q in iqs)
+    return np.stack([q[:n] for q in iqs]), payloads
+
+
+def _run(rx, x, chunk, ra):
+    outs = [np.empty((0, 188), np.uint8)] * rx.nchan
+    n = (x.shape[1] - ra) // chunk * chunk
+    for o in range(0, n, chunk):
+        res = rx.process(jnp.asarray(x[:, o:o + chunk + ra]))
+        outs = [np.concatenate([a, b]) for a, b in zip(outs, res)]
+    return outs
+
+
+def test_segmented_demod_matches_sequential_ts():
+    """segments=4 through the full fast path (matched filter + demod +
+    deconv sync election): decodes the same TS packets as segments=1."""
+    C, CH, S = 2, 1 << 15, 4
+    x, payloads = _stimulus(C, npackets=220)
+    x = x * np.float32(75.0)
+    cfg = RxConfig(Fs=4e6, Fm=2e6, rate="1/2", fastlock=True,
+                   float_scale=75.0, exact_lut=False, sampler="rrc")
+    rx1 = MultiDvbsReceiver(cfg, C, use_pallas=False, chunk_samples=CH)
+    rxs = MultiDvbsReceiver(cfg, C, use_pallas=False, chunk_samples=CH,
+                            segments=S, seg_warmup=2048)
+    assert rx1.mf_taps is not None          # mf branch is covered
+    ra = rx1.params.readahead + len(rx1.mf_taps) - 1
+    out1 = _run(rx1, x, CH, ra)
+    outs = _run(rxs, x, CH, ra)
+    for c in range(C):
+        assert len(out1[c]) >= 100, f"sequential ch{c}: {len(out1[c])}"
+        assert len(outs[c]) >= 0.9 * len(out1[c]), \
+            f"segmented ch{c}: {len(outs[c])} vs {len(out1[c])}"
+        # Payload verification: segmented output rows are real TX packets.
+        hits = sum(1 for o in outs[c]
+                   if (payloads[c] == o).all(axis=1).any())
+        assert hits >= 0.95 * len(outs[c]), f"ch{c}: {hits}/{len(outs[c])}"
+        # And the two receivers agree on the decoded packet set.
+        common = sum(1 for o in outs[c] if (out1[c] == o).all(axis=1).any())
+        assert common >= 0.9 * len(outs[c]), f"ch{c} packet-set drift"
+
+
+def test_segmented_viterbi_noisy():
+    """segments=2 with AWGN and soft-decision Viterbi: the handover rule
+    must hold up when emissions carry noise (the splice-alignment check
+    compares hard decisions, which can differ between trajectories at
+    low margin — the fallback cut must stay rare enough that throughput
+    matches the sequential receiver)."""
+    C, CH, S = 1, 1 << 15, 2
+    rng = np.random.default_rng(7)
+    x, payloads = _stimulus(C, npackets=200)
+    x = x * np.float32(75.0)
+    x = x + rng.normal(scale=75.0 * 10 ** (-12.0 / 20),
+                       size=x.shape).astype(np.float32)   # ~12 dB Es/N0
+    cfg = RxConfig(Fs=4e6, Fm=2e6, rate="1/2", fastlock=True,
+                   float_scale=75.0, exact_lut=False, sampler="rrc",
+                   viterbi=True)
+    rx1 = MultiDvbsReceiver(cfg, C, use_pallas=False, chunk_samples=CH)
+    rxs = MultiDvbsReceiver(cfg, C, use_pallas=False, chunk_samples=CH,
+                            segments=S, seg_warmup=2048, seg_holdoff=6)
+    ra = rx1.params.readahead + len(rx1.mf_taps) - 1
+    out1 = _run(rx1, x, CH, ra)
+    outs = _run(rxs, x, CH, ra)
+    assert len(out1[0]) >= 100, len(out1[0])
+    assert len(outs[0]) >= 0.9 * len(out1[0]), \
+        (len(outs[0]), len(out1[0]))
+    hits = sum(1 for o in outs[0]
+               if (payloads[0] == o).all(axis=1).any())
+    assert hits >= 0.9 * len(outs[0]), (hits, len(outs[0]))
+
+
+def test_segmented_guardrails():
+    cfg = RxConfig(Fs=4e6, Fm=2e6, rate="1/2", float_scale=75.0)
+    with pytest.raises(ValueError):
+        MultiDvbsReceiver(cfg, 2, segments=0)
+    with pytest.raises(ValueError):
+        MultiDvbsReceiver(cfg, 2, segments=2, seg_warmup=100)
+    with pytest.raises(ValueError):
+        MultiDvbsReceiver(cfg, 600, segments=2)
