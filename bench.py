@@ -215,19 +215,9 @@ def main():
     from pathlib import Path
     # Machine-keyed cache subdir: XLA AOT results embed host CPU
     # features, and a stale cache from a different host loads anyway
-    # with wrong-numerics/SIGILL risk (see tests/conftest.py).
-    import hashlib
-    try:
-        with open("/proc/cpuinfo") as f:
-            _cpu = next((l for l in f if l.startswith("flags")), "")
-    except OSError:
-        import platform
-        _cpu = platform.processor()
-    tag = hashlib.sha1(_cpu.encode()).hexdigest()[:8]
-    jax.config.update("jax_compilation_cache_dir",
-                      str(Path(__file__).resolve().parent
-                          / ".jax_cache" / tag))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    # with wrong-numerics/SIGILL risk (leansdr_tpu/util/jax_cache.py).
+    from leansdr_tpu.util.jax_cache import setup_cache
+    setup_cache(Path(__file__).resolve().parent)
 
     chain = _chain_bench()
     # Punctured-rate fleet Viterbi (banked ACS kernel) at the NORTH-STAR

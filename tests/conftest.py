@@ -24,19 +24,12 @@ jax.config.update("jax_platforms", "cpu")
 # target machine features, and a cache written on a different host is
 # loaded anyway with a "could lead to SIGILL" warning (observed to
 # produce wrong numerics when rounds run on heterogeneous machines).
-import hashlib
+import sys
 
-try:
-    with open("/proc/cpuinfo") as f:
-        _cpu = next((l for l in f if l.startswith("flags")), "")
-except OSError:
-    import platform
-    _cpu = platform.processor()
-_tag = hashlib.sha1(_cpu.encode()).hexdigest()[:8]
-jax.config.update("jax_compilation_cache_dir",
-                  str(Path(__file__).resolve().parent.parent
-                      / ".jax_cache" / _tag))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+from leansdr_tpu.util.jax_cache import setup_cache
+
+setup_cache()
 
 import subprocess
 

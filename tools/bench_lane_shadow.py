@@ -68,8 +68,8 @@ def bench_demod(nchan, nsamp=None):
 
 def main():
     import jax
-    jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    from leansdr_tpu.util.jax_cache import setup_cache
+    setup_cache(REPO)
     base = None
     for nc in (64, 128, 256, 512):
         wall, msps = bench_demod(nc)

@@ -124,9 +124,8 @@ def bench_16apsk_pallas(nchan=64):
 
 def main():
     import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      str(REPO / ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    from leansdr_tpu.util.jax_cache import setup_cache
+    setup_cache(REPO)
     for name, fn, baseline in (
             # Reference --hs mode: "2.4 Msamples/s on one core" class
             # (README.md:40-44); 8PSK has no single-number reference

@@ -50,9 +50,8 @@ def _worker(pid: int, port: int, q):
         f"--xla_force_host_platform_device_count={LOCAL_DEV}")
     sys.path.insert(0, str(REPO))
     import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      str(REPO / ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    from leansdr_tpu.util.jax_cache import setup_cache
+    setup_cache(REPO)
     jax.distributed.initialize(
         coordinator_address=f"localhost:{port}",
         num_processes=NPROC, process_id=pid)

@@ -44,9 +44,8 @@ def _note(res, k, v):
 
 def main():
     import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      str(REPO / ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    from leansdr_tpu.util.jax_cache import setup_cache
+    setup_cache(REPO)
     import jax.numpy as jnp
     from leansdr_tpu.pipelines import tsgen
     from leansdr_tpu.pipelines.dvbs_rx import RxConfig
