@@ -182,9 +182,24 @@ def _demod_segmented(params, sym_consts, mf_taps, nchan, S, W, want_cost,
     # (layout 0:(+,+) 1:(+,-) 2:(-,+) 3:(-,-); +90 deg of lock phase
     # rotates the derotated samples by -90: (I,Q)->(Q,-I)).
     qpsk = params.nsymbols == 4
-    perms = jnp.asarray([[0, 1, 2, 3], [2, 0, 3, 1],
-                         [3, 2, 1, 0], [1, 3, 0, 2]], jnp.uint8)
     dphase = jnp.asarray([0.0, 16384.0, 32768.0, -16384.0], jnp.float32)
+
+    def rot_label(sb, r):
+        """perms[r][sb] as branchless bit algebra (labels are b1b0 =
+        i_neg,q_neg; a 4x4 table gather at these shapes costs ~100 ms
+        on TPU, the arithmetic is free).  r may be static or a [C] row."""
+        s_ = sb.astype(jnp.int32)
+        forms = (s_,
+                 2 + (s_ >> 1) - 2 * (s_ & 1),      # [2,0,3,1]  +90
+                 3 - s_,                            # [3,2,1,0]  180
+                 1 - (s_ >> 1) + 2 * (s_ & 1))      # [1,3,0,2]  -90
+        if isinstance(r, int):
+            return forms[r].astype(jnp.uint8)
+        rh = r[None, :]
+        out = forms[0]
+        for k in (1, 2, 3):
+            out = jnp.where(rh == k, forms[k], out)
+        return out.astype(jnp.uint8)
 
     # Handover cuts: window rows w map to global rows s*nseg - T + w.
     # The anchor is an emission of the SAME symbol by both trajectories
@@ -213,7 +228,7 @@ def _demod_segmented(params, sym_consts, mf_taps, nchan, S, W, want_cost,
         if qpsk:
             cnt = []
             for r in range(4):
-                sbr = perms[r][sb_raw[W - T:W]]
+                sbr = rot_label(sb_raw[W - T:W], r)
                 m = (va[:-1] & vb[:-1] & (sa[:-1] == sbr[:-1])) \
                     | (va[:-1] & vb[1:] & (sa[:-1] == sbr[1:])) \
                     | (va[1:] & vb[:-1] & (sa[1:] == sbr[:-1]))
@@ -222,7 +237,7 @@ def _demod_segmented(params, sym_consts, mf_taps, nchan, S, W, want_cost,
             rhat = jnp.argmax(cnt, axis=0)             # [C]
             # Require real evidence; keep labels raw pre-lock.
             rhat = jnp.where(cnt.max(axis=0) >= T // 8, rhat, 0)
-            sseg = perms[rhat[None, :], sb_raw]        # relabeled segment
+            sseg = rot_label(sb_raw, rhat)             # relabeled segment
             # rhat maps segment s's raw labels into the BASE frame (the
             # outgoing side is already corrected), so the last boundary's
             # rotation IS the carried trajectory's offset vs the stream.
