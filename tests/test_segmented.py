@@ -91,6 +91,30 @@ def test_segmented_viterbi_noisy():
     assert hits >= 0.9 * len(outs[0]), (hits, len(outs[0]))
 
 
+def test_segmented_punctured_rate_decodes():
+    """Punctured 3/4 (banked-trellis symbol geometry) through
+    segments=2: the splice must not slip symbols, or the deconvolution
+    alignment breaks every boundary."""
+    C, CH, S = 1, 1 << 15, 2
+    x, payloads = _stimulus(C, npackets=200, rate="3/4")
+    x = x * np.float32(75.0)
+    cfg = RxConfig(Fs=4e6, Fm=2e6, rate="3/4", fastlock=True,
+                   float_scale=75.0, exact_lut=False, sampler="rrc",
+                   viterbi=True)
+    rx1 = MultiDvbsReceiver(cfg, C, use_pallas=False, chunk_samples=CH)
+    rxs = MultiDvbsReceiver(cfg, C, use_pallas=False, chunk_samples=CH,
+                            segments=S, seg_warmup=2048, seg_holdoff=6)
+    ra = rx1.params.readahead + len(rx1.mf_taps) - 1
+    out1 = _run(rx1, x, CH, ra)
+    outs = _run(rxs, x, CH, ra)
+    assert len(out1[0]) >= 100, len(out1[0])
+    assert len(outs[0]) >= 0.9 * len(out1[0]), \
+        (len(outs[0]), len(out1[0]))
+    hits = sum(1 for o in outs[0]
+               if (payloads[0] == o).all(axis=1).any())
+    assert hits >= 0.95 * len(outs[0]), (hits, len(outs[0]))
+
+
 def test_segmented_guardrails():
     cfg = RxConfig(Fs=4e6, Fm=2e6, rate="1/2", float_scale=75.0)
     with pytest.raises(ValueError):
