@@ -153,6 +153,14 @@ def device_scan(template, timeout, rewind):
 
     scan = CandidateScanReceiver.grid(Fs, srs, crs, float_scale=scale)
     itemsize = {"u8": 2, "s8": 2, "u16": 4, "s16": 4, "f32": 8}[fmt]
+    # Precompile the batched demod BEFORE touching the stream: a scratch
+    # receiver fed zeros walks the same read-size sequence, so the jit
+    # cache is hot and a LIVE stream pays no compile inside the signal
+    # window (over the axon tunnel that window was ~2 min).
+    warm = CandidateScanReceiver.grid(Fs, srs, crs, float_scale=scale)
+    for _ in range(3):
+        warm.process(np.zeros((1 << 16, 2), np.float32))
+    del warm
     stdin = sys.stdin.buffer
     t0 = time.time()
     consumed = 0
@@ -175,11 +183,34 @@ def device_scan(template, timeout, rewind):
     if cr_at is not None:
         cmd[cr_at] = c.rate
     print(f"Device scan elected: --sr {c.Fm:g} --cr {c.rate} after "
-          f"{consumed} samples ({time.time() - t0:.2f}s); exec: "
-          f"{' '.join(cmd)}", file=sys.stderr)
+          f"{consumed} samples ({time.time() - t0:.2f}s); "
+          + ("exec: " + " ".join(cmd) if rewind
+             else "continuing in-process"), file=sys.stderr)
     if rewind:
+        # File mode: decode the whole capture fresh with the winning
+        # config (reference semantics, leansdrscan.cc:192-196).
         os.lseek(stdin.fileno(), 0, os.SEEK_SET)
-    os.execvp(cmd[0], cmd)
+        os.execvp(cmd[0], cmd)
+    # Live mode: the scan receiver IS a receiver — keep ITS loop state
+    # and byte chain (scan_rx.focus), flush everything decoded during
+    # the scan (the reference's supervisor discards pre-election
+    # output), and stream on with no process restart or recompile.
+    out = sys.stdout.buffer
+    out.write(scan.outputs[winner].tobytes())
+    out.flush()
+    scan.focus(winner)
+    scan.outputs[0] = scan.outputs[0][:0]
+    while True:
+        raw = stdin.read((1 << 16) * itemsize)
+        if not raw:
+            break
+        nitems = len(raw) // itemsize * itemsize
+        scan.process(read_iq(raw[:nitems], fmt))
+        if len(scan.outputs[0]):
+            out.write(scan.outputs[0].tobytes())
+            out.flush()
+            scan.outputs[0] = scan.outputs[0][:0]
+    return 0
 
 
 def main(argv=None):

@@ -114,3 +114,19 @@ class CandidateScanReceiver:
                     self._winner = c
                     break
         return self._winner
+
+    def focus(self, c: int) -> None:
+        """Drop every candidate but `c` and keep streaming: the demod
+        batch shrinks to the winner's symbol-rate group and only its
+        byte chain stays live.  This is the live-mode handoff — unlike
+        the reference's fork/exec supervisor, the locked receiver keeps
+        the SAME loop state and backlog, so no signal is lost and no
+        process restart (or recompile) happens at lock."""
+        g = self.group_of[c]
+        self.state = {k: v[g:g + 1] for k, v in self.state.items()}
+        self.group_fms = [self.group_fms[g]]
+        self.candidates = [self.candidates[c]]
+        self.group_of = [0]
+        self.chains = [self.chains[c]]
+        self.outputs = [self.outputs[c]]
+        self._winner = 0

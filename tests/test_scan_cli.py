@@ -42,6 +42,31 @@ def test_device_scan_elects_and_decodes():
     assert hits >= 18
 
 
+def test_device_scan_live_inprocess_handoff():
+    """Without --rewind (live mode) the device scan must elect and then
+    CONTINUE in-process (scan_rx.focus) — no exec, no restart — and the
+    output must include packets decoded during the scan itself."""
+    pkts = tsgen.generate(260)
+    iq = dvbs_tx.modulate(pkts, dvbs_tx.TxConfig(rate="3/4", interp=4))
+    raw = write_iq(iq, "f32")
+    cmd = [sys.executable, "-m", "leansdr_tpu.apps.leansdrscan",
+           "--device", "-t", "600",
+           sys.executable, "-m", "leansdr_tpu.apps.leandvb",
+           "--f32", "--float-scale", "75", "-f", "6e6",
+           "--sr", "1e6,1.5e6", "--cr", "1/2,3/4",
+           "--anf", "0", "--fastlock"]
+    r = subprocess.run(cmd, input=raw, capture_output=True, timeout=1800)
+    assert r.returncode == 0, r.stderr[-500:]
+    assert b"continuing in-process" in r.stderr, r.stderr[-500:]
+    ts = np.frombuffer(r.stdout, np.uint8)
+    assert len(ts) % 188 == 0 and len(ts) >= 150 * 188, len(ts) // 188
+    ts = ts.reshape(-1, 188)
+    assert (ts[:, 0] == 0x47).all()
+    hits = sum(bool(np.where((pkts == p).all(axis=1))[0].size)
+               for p in ts[3:23])
+    assert hits >= 18
+
+
 def test_device_scan_rejects_other_sweeps():
     r = subprocess.run(
         [sys.executable, "-m", "leansdr_tpu.apps.leansdrscan",

@@ -80,10 +80,115 @@ def time_to_first_ts(cmd, capture, timeout=900):
     return dt if first else None
 
 
+def time_to_first_ts_live(cmd, capture, rate_bps, timeout=600):
+    """LIVE variant: pace the capture into stdin at `rate_bps` bytes/s
+    (looping the file), as a tuner would.  Returns (wall_s, stderr) —
+    wall seconds from stream start to the first stdout TS byte."""
+    import threading
+    data = open(capture, "rb").read()
+    p = subprocess.Popen(cmd, stdin=subprocess.PIPE,
+                         stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                         cwd=str(REPO))
+    stop = threading.Event()
+    t0 = time.perf_counter()
+
+    def feed():
+        blk = 65536
+        sent = 0
+        while not stop.is_set():
+            off = sent % len(data)
+            chunk = data[off:off + blk]
+            try:
+                p.stdin.write(chunk)
+                p.stdin.flush()
+            except (BrokenPipeError, ValueError, OSError):
+                return
+            sent += len(chunk)
+            lag = sent / rate_bps - (time.perf_counter() - t0)
+            if lag > 0:
+                time.sleep(lag)
+
+    err_buf = []
+
+    def drain_err():
+        for line in p.stderr:
+            err_buf.append(line)
+
+    threading.Thread(target=feed, daemon=True).start()
+    threading.Thread(target=drain_err, daemon=True).start()
+    first = None
+    try:
+        import select
+        end = t0 + timeout
+        while time.perf_counter() < end:
+            r, _, _ = select.select([p.stdout], [], [], 1.0)
+            if r:
+                first = p.stdout.read(188)
+                break
+        dt = time.perf_counter() - t0
+    finally:
+        stop.set()
+        p.kill()
+        p.wait()
+    return (dt if first else None), b"".join(err_buf).decode(
+        errors="replace")
+
+
+def main_live(npackets):
+    """LIVE scan race at the real stream rate (6 Msps f32 = 48 MB/s):
+    the serial scan burns >= timeout seconds of SIGNAL per wrong
+    candidate (grid order), while the device scan watches every
+    candidate on the same samples and elects at the right candidate's
+    lock time.  This is the deployment-relevant metric — a file scan is
+    bottlenecked by single-candidate decode speed, which the reference
+    wins trivially (it EOFs wrong candidates in milliseconds)."""
+    capture = make_capture(npackets)
+    rate_bps = int(6e6 * 8)          # 6 Msps f32 IQ
+    try:
+        apps = build_reference()
+        ref_cmd = [str(apps / "leansdrscan"), "--timeout", "1",
+                   str(apps / "leandvb"), "--f32", "-f", "6e6",
+                   "--sr", SR, "--cr", CR, "--anf", "0"]
+        dt_ref, _ = time_to_first_ts_live(ref_cmd, capture, rate_bps)
+        print(json.dumps({"metric": "live_scan_to_lock_s",
+                          "who": "reference_serial_fork_exec",
+                          "value": round(dt_ref, 2) if dt_ref else None,
+                          "grid": f"{SR} x {CR}"}), flush=True)
+
+        our_cmd = [sys.executable, "-m", "leansdr_tpu.apps.leansdrscan",
+                   "--device", "-t", "600",
+                   sys.executable, "-m", "leansdr_tpu.apps.leandvb",
+                   "--f32", "--float-scale", "75", "-f", "6e6",
+                   "--sr", SR, "--cr", CR, "--anf", "0"]
+        dt_dev, err = time_to_first_ts_live(our_cmd, capture, rate_bps)
+        signal_s = None
+        for line in err.splitlines():          # election line: "(X.XXs)"
+            if "Device scan elected" in line and "(" in line:
+                try:
+                    signal_s = float(
+                        line.split("(")[1].split("s)")[0])
+                except ValueError:
+                    pass
+        print(json.dumps({"metric": "live_scan_to_lock_s",
+                          "who": "device_batch_scan",
+                          "value": round(dt_dev, 2) if dt_dev else None,
+                          "election_signal_s": signal_s,
+                          "backend": os.environ.get("JAX_PLATFORMS",
+                                                    "default"),
+                          "speedup_vs_ref": (round(dt_ref / dt_dev, 2)
+                                             if dt_ref and dt_dev
+                                             else None)}), flush=True)
+    finally:
+        os.unlink(capture)
+
+
 def main():
     npackets = 400
     if "--packets" in sys.argv:
         npackets = int(sys.argv[sys.argv.index("--packets") + 1])
+    if "--live" in sys.argv:
+        main_live(npackets)
+        return
     capture = make_capture(npackets)
     try:
         apps = build_reference()
