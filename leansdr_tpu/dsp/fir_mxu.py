@@ -24,11 +24,11 @@ north-star shape (128 rows x 2^18 samples, 65 taps):
     precision=HIGHEST (f32-via-bf16 passes): 13.5 Gsamples/s,
         0.26 of HBM peak, max rel err ~2e-7 vs float64 convolve
         (f32-grade — the shipped default);
-    precision=DEFAULT (bf16 multiplies):     26.9 Gsamples/s,
-        0.53 of HBM peak, rel err ~3e-3 (throughput mode for
+    precision=DEFAULT (bf16 multiplies):     28.7 Gsamples/s,
+        0.56 of HBM peak, rel err ~3e-3 (throughput mode for
         non-decision paths).
 
-3.8x / 7.5x the streaming Pallas kernel.  The FLOP overhead of the
+3.7x / 7.9x the streaming Pallas kernel.  The FLOP overhead of the
 band (2*2*B MACs per output vs 2*ntaps useful) is what the MXU's
 ~12x FLOP advantage over the VPU buys down.
 
