@@ -50,6 +50,8 @@ def handle_dvbs_flag(a: str, val, cfg) -> bool:
         cfg.exact_lut = True       # bit-exact LUT decision path
     elif a == "--no-exact-lut":
         cfg.exact_lut = False      # computed path (Mosaic kernel on TPU)
+    elif a == "--segments":
+        cfg.segments = int(val())
     elif a == "--fastlock":
         cfg.fastlock = True
     elif a == "--viterbi":

@@ -48,6 +48,9 @@ def usage(code=0, f=sys.stderr):
         "                          accelerator; not in the reference)\n"
         "  --viterbi               Use Viterbi decoding\n"
         "  --hq                    --fastlock --viterbi --sampler rrc\n"
+        "  --segments S            Time-segmented demod: S lane-parallel\n"
+        "                          segments per chunk (TPU accelerator;\n"
+        "                          approximate splices, TS-level parity)\n"
         "\nUI options:\n"
         "  --fd-info FDNUM         Info messages to file descriptor\n"
         "  --fd-const FDNUM        Constellation to file descriptor\n"

@@ -56,7 +56,7 @@ def parse_args(argv):
 
     cfg = RxConfig()
     opts = {"input": "f32", "nchan": 0, "out_template": None,
-            "fd_info": -1, "chunk": 1 << 16, "acq": False, "segments": 1}
+            "fd_info": -1, "chunk": 1 << 16, "acq": False}
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -78,8 +78,6 @@ def parse_args(argv):
             opts["fd_info"] = int(val())
         elif a == "--acq":
             opts["acq"] = True
-        elif a == "--segments":
-            opts["segments"] = int(val())
         elif a in ("--u8", "--s8", "--u16", "--s16", "--f32"):
             opts["input"] = a[2:]
         elif handle_dvbs_flag(a, val, cfg):
@@ -110,7 +108,9 @@ def main(argv=None):
 
     nchan = opts["nchan"]
     rx = MultiDvbsReceiver(cfg, nchan, chunk_samples=opts["chunk"],
-                           segments=opts["segments"])
+                           segments=cfg.segments,
+                           seg_warmup=cfg.seg_warmup,
+                           seg_holdoff=cfg.seg_holdoff)
     dtype, tofloat = _DTYPES[opts["input"]]
     itemsize = np.dtype(dtype).itemsize
     frame_bytes = nchan * 2 * itemsize

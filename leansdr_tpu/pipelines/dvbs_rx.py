@@ -75,6 +75,13 @@ class RxConfig:
     # Observability (leandvb.cc:700-713, 418-422):
     debug: bool = False          # -d: per-packet glyph stream on stderr
     fd_pp: int = -1              # --fd-pp: preprocessed IQ as cf32 to fd
+    # Time-segmented demod (multi_rx._demod_segmented): each chunk is
+    # demodulated as `segments` lane-parallel time segments (fills idle
+    # kernel lanes; approximate splices, TS-level parity). CLI:
+    # --segments S.
+    segments: int = 1
+    seg_warmup: int = 2048
+    seg_holdoff: int = 8
 
 
 class _DeconvolSync:
@@ -392,6 +399,11 @@ class DvbsReceiver:
             ra += len(self.mf_taps) - 1
         navail = len(self.sample_backlog) - ra
         K = navail // receiver.CHUNK
+        seg_live = (self.cfg.segments > 1 and not self.cfg.hs
+                    and getattr(self, "_chunks_done", 0)
+                    >= self.cfg.seg_holdoff)
+        if seg_live:
+            K -= K % self.cfg.segments   # nseg must stay CHUNK-aligned
         if K <= 0:
             return np.empty((0, TS_SIZE), np.uint8)
         n = K * receiver.CHUNK
@@ -399,6 +411,60 @@ class DvbsReceiver:
         self.sample_backlog = self.sample_backlog[n:]
 
         xd = jnp.asarray(x[None, :, :])                 # [1, n+ra, 2]
+        S = self.cfg.segments
+        if seg_live and n // S >= self.cfg.seg_warmup:
+            # Time-segmented demod: one channel's chunk as S lane-parallel
+            # segments (multi_rx._demod_segmented — same engine as the
+            # fleet receiver's segments= mode).
+            from .multi_rx import _demod_segmented
+            dem_state = self._planes if self.use_pallas else self.state
+            dem_state, seg_sym, seg_valid, seg_cost = _demod_segmented(
+                self.params,
+                getattr(self, "_sym_consts", None),
+                self.mf_taps, 1, S, self.cfg.seg_warmup,
+                self.cfg.viterbi, self.use_pallas,
+                self._interpret if self.use_pallas else False,
+                None if self.use_pallas else self.tables, dem_state, xd)
+            if self.use_pallas:
+                self._planes = dem_state
+                self._meas_backlog = getattr(self, "_meas_backlog", 0) + n
+                k = self._meas_backlog // self.params.meas_decimation
+                if k:
+                    self._meas_backlog %= self.params.meas_decimation
+                    p = np.asarray(self._planes).reshape(
+                        self._rp.NSTATE, -1)[:, 0]
+                    mer = (10 * np.log10(p[5] / p[6])
+                           if p[6] > 0 else 0.0)
+                    for _ in range(int(k)):
+                        self.meas["freq"].append(float(p[2] / 65536.0))
+                        self.meas["ss"].append(float(np.sqrt(p[4])))
+                        self.meas["mer"].append(float(mer))
+            else:
+                self.state = dem_state
+                p = {k2: np.asarray(v[0]) for k2, v in dem_state.items()}
+                self._meas_backlog = getattr(self, "_meas_backlog", 0) + n
+                k = self._meas_backlog // self.params.meas_decimation
+                if k:
+                    self._meas_backlog %= self.params.meas_decimation
+                    mer = (10 * np.log10(p["est_sp"] / p["est_ep"])
+                           if p["est_ep"] > 0 else 0.0)
+                    for _ in range(int(k)):
+                        self.meas["freq"].append(
+                            float(p["freqw"] / 65536.0))
+                        self.meas["ss"].append(
+                            float(np.sqrt(p["est_insp"])))
+                        self.meas["mer"].append(float(mer))
+            valid = np.asarray(seg_valid[:, 0])
+            syms = np.asarray(seg_sym[:, 0])[valid]
+            costs = (np.asarray(seg_cost[:, 0])[valid]
+                     if seg_cost is not None else None)
+            self._chunks_done = getattr(self, "_chunks_done", 0) + 1
+            if self.cfg.viterbi:
+                bytes_out = self.deconv.process(syms, costs)
+            else:
+                bytes_out = self.deconv.process(syms)
+            return self._byte_stages(bytes_out)
+        self._chunks_done = getattr(self, "_chunks_done", 0) + 1
         if self.mf_taps is not None:
             from ..dsp.mf_prefilter import mf_prefilter
             freqw = (self._planes[2].reshape(-1)[:1] if self.use_pallas

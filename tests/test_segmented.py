@@ -115,6 +115,34 @@ def test_segmented_punctured_rate_decodes():
     assert hits >= 0.95 * len(outs[0]), (hits, len(outs[0]))
 
 
+def test_segmented_single_channel_cli():
+    """leandvb --segments S at the CLI surface (shared flag handler ->
+    DvbsReceiver routing through the same _demod_segmented engine)."""
+    import subprocess
+    import sys
+    from leansdr_tpu.util.iofmt import write_iq
+
+    pkts = tsgen.generate(220)
+    iq = dvbs_tx.modulate(pkts, dvbs_tx.TxConfig(rate="1/2", interp=2))
+    raw = write_iq(iq, "f32")
+    outs = {}
+    for seg in ("1", "4"):
+        r = subprocess.run(
+            [sys.executable, "-m", "leansdr_tpu.apps.leandvb",
+             "--f32", "--float-scale", "75", "-f", "4e6", "--sr", "2e6",
+             "--cr", "1/2", "--anf", "0", "--fastlock",
+             "--segments", seg],
+            input=raw, capture_output=True, timeout=900)
+        assert r.returncode == 0, r.stderr[-400:]
+        outs[seg] = np.frombuffer(r.stdout, np.uint8).reshape(-1, 188)
+    assert len(outs["1"]) >= 150
+    assert len(outs["4"]) >= 0.9 * len(outs["1"]), \
+        (len(outs["4"]), len(outs["1"]))
+    common = sum(1 for o in outs["4"]
+                 if (outs["1"] == o).all(axis=1).any())
+    assert common >= 0.9 * len(outs["4"])
+
+
 def test_segmented_guardrails():
     cfg = RxConfig(Fs=4e6, Fm=2e6, rate="1/2", float_scale=75.0)
     with pytest.raises(ValueError):
