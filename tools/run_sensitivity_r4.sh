@@ -2,9 +2,9 @@
 # Round-4 sensitivity matrix (VERDICT r3 item 4):
 #  * multi-seed the 4.5/5.0 dB 4.2sps-viterbi-rrc headline (5 noise
 #    realizations, both receivers, paired);
-#  * widen series coverage to >= 5 of the reference's grid
-#    (test/leandvb_bench.sh:119-134): 2.4/4/8/32 sps viterbi-rrc and
-#    the u8 --hs series.
+#  * widen series coverage to ALL 8 of the reference's grid
+#    (test/leandvb_bench.sh:119-134): 2.4/4/8/32 sps viterbi-rrc, the
+#    u8 --hs series, 8.2sps linear, and the satmodem4200 60sps case.
 # Runs CPU-only (JAX_PLATFORMS=cpu), J jobs in parallel, results append
 # to leandvb_bench_results_r4.txt.
 set -u
@@ -36,7 +36,10 @@ for p in "4sps-viterbi-rrc --snr 6.5" "4sps-viterbi-rrc --snr 5.5" \
          "32sps-viterbi-rrc --snr 6 --npackets 1500" \
          "32sps-viterbi-rrc --snr 5 --npackets 1500" \
          "1.2sps-hs --snr 14" "1.2sps-hs --snr 12" "1.2sps-hs --snr 10" \
-         "2.4sps-hs --snr 12"; do
+         "2.4sps-hs --snr 12" \
+         "8.2sps --snr 21" "8.2sps --snr 18" \
+         "satmodem4200-60sps --snr 6 --npackets 1200" \
+         "satmodem4200-60sps --snr 5 --npackets 1200"; do
   add "$p --out $OUT"
   add "$p --ref --out $OUT"
 done
