@@ -412,19 +412,28 @@ class DvbsReceiver:
 
         xd = jnp.asarray(x[None, :, :])                 # [1, n+ra, 2]
         S = self.cfg.segments
-        if seg_live and n // S >= self.cfg.seg_warmup:
+        from .multi_rx import _SEG_T
+        if seg_live and n // S >= self.cfg.seg_warmup + _SEG_T:
             # Time-segmented demod: one channel's chunk as S lane-parallel
             # segments (multi_rx._demod_segmented — same engine as the
             # fleet receiver's segments= mode).
-            from .multi_rx import _demod_segmented
+            from .multi_rx import _demod_segmented, init_seg_state
             dem_state = self._planes if self.use_pallas else self.state
-            dem_state, seg_sym, seg_valid, seg_cost = _demod_segmented(
+            nseg = n // S
+            if (getattr(self, "_seg_state", None) is None
+                    or getattr(self, "_seg_nseg", 0) != nseg):
+                self._seg_state = init_seg_state(
+                    self.use_pallas, dem_state, 1, S, nseg)
+                self._seg_nseg = nseg
+            (dem_state, self._seg_state, seg_sym, seg_valid,
+             seg_cost) = _demod_segmented(
                 self.params,
                 getattr(self, "_sym_consts", None),
                 self.mf_taps, 1, S, self.cfg.seg_warmup,
                 self.cfg.viterbi, self.use_pallas,
                 self._interpret if self.use_pallas else False,
-                None if self.use_pallas else self.tables, dem_state, xd)
+                None if self.use_pallas else self.tables, dem_state,
+                self._seg_state, xd)
             if self.use_pallas:
                 self._planes = dem_state
                 self._meas_backlog = getattr(self, "_meas_backlog", 0) + n
@@ -465,6 +474,9 @@ class DvbsReceiver:
                 bytes_out = self.deconv.process(syms)
             return self._byte_stages(bytes_out)
         self._chunks_done = getattr(self, "_chunks_done", 0) + 1
+        # A sequential interlude moves the stream past the persisted
+        # per-segment positions; rebuild them at the next segmented chunk.
+        self._seg_state = None
         if self.mf_taps is not None:
             from ..dsp.mf_prefilter import mf_prefilter
             freqw = (self._planes[2].reshape(-1)[:1] if self.use_pallas

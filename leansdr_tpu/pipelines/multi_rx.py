@@ -65,122 +65,212 @@ def _wrap_u16(p):
     return p - jnp.floor(p / 65536.0) * 65536.0
 
 
-_SEG_T = 64     # boundary handover window (rows)
+_SEG_T = 128    # boundary overlap window (rows, multiple of CHUNK)
+_SEG_DEBUG = None   # set to a dict (eager mode only) to stash diagnostics
+
+
+def seg_positions(S: int, nseg: int, T: int = _SEG_T):
+    """End-of-chunk stream positions of the S persisted segment states,
+    relative to the NEXT chunk's head (all <= 0).  Segment 0's emit
+    window is [0, nseg+T); segment s>=1's is [s*nseg-T, (s+1)*nseg)."""
+    n = S * nseg
+    return [nseg + T - n] + [(j + 1) * nseg - n for j in range(1, S)]
+
+
+def init_seg_state(use_pallas, dem_state, nchan, S, nseg, T=_SEG_T):
+    """Cold-start per-segment persisted state (host side): replicate the
+    carried chunk-head state into S lanes positioned at
+    seg_positions(S, nseg) with the lock phase advanced by
+    freqw x position — so the first segmented chunk's pass-1 seeding is
+    exactly a prediction from the chunk head, and every later chunk's is
+    a one-chunk advance of each segment's OWN trajectory."""
+    C = nchan
+    pos = np.repeat(np.asarray(seg_positions(S, nseg, T), np.float32), C)
+
+    def wrap(v):
+        return v - np.floor(v / 65536.0) * 65536.0
+
+    if use_pallas:
+        from ..dsp import receiver_pallas as rp
+        flat = np.asarray(dem_state).reshape(rp.NSTATE, -1)[:, :C]
+        rep = np.tile(flat, (1, S))
+        adv = wrap(wrap(rep[2] * 128.0) * (pos / 128.0))
+        rep[1] = wrap(rep[1] + adv)
+        nsub = max(1, -(-(S * C) // rp.LANE))
+        rep = np.pad(rep, ((0, 0), (0, nsub * rp.LANE - S * C)))
+        return jnp.asarray(rep.reshape(rp.NSTATE, nsub, rp.LANE))
+    rep = {k: np.tile(np.asarray(v), (S,) + (1,) * (v.ndim - 1))
+           for k, v in dem_state.items()}
+    adv = wrap(wrap(rep["freqw"] * 128.0) * (pos / 128.0))
+    rep["phase"] = wrap(rep["phase"] + adv).astype(np.float32)
+    return {k: jnp.asarray(v) for k, v in rep.items()}
 
 
 def _demod_segmented(params, sym_consts, mf_taps, nchan, S, W, want_cost,
-                     use_pallas, interpret, tables, dem_state, x):
-    """Warmup-approximate time-segmented demod (docs/PERF.md "Segmented
-    demod"): each channel's chunk is split into S time segments
-    demodulated in PARALLEL kernel lanes, filling the lane slots a small
-    fleet leaves idle (the per-step cost at fleet shapes is
-    issue/latency-bound, so S segments cost ~the wall time of one).
+                     use_pallas, interpret, tables, dem_state, seg_state,
+                     x):
+    """Two-pass time-segmented demod with per-segment persistent state
+    (docs/PERF.md "Segmented demod"): each channel's chunk is split into
+    S time segments demodulated in PARALLEL kernel lanes, filling the
+    lane slots a small fleet leaves idle (the per-step cost at fleet
+    shapes is issue/latency-bound, so S segments cost ~the wall time of
+    one).
 
     Exactness model: the per-sample PLL/timing recurrence (sdr.h:800-847)
     is strictly sequential, so segment s>0 cannot start from the TRUE
-    state.  It starts from a PREDICTION — the chunk-carried state with
-    the phase advanced by freqw * offset (the only state component with
-    a large deterministic drift) — plus W samples of re-convergence
-    warmup whose outputs are discarded.  Segment 0 needs neither: it
-    starts AT the chunk head, where the carried state is exact, so chunk
-    boundaries are sequential-exact and only the S-1 internal splices
-    are approximate.  In TRACK the loops re-converge well inside W=2048
-    samples (phase prediction error = freqw estimation error x offset
-    << pi/4, so the PLL relocks in the SAME quadrant and splices carry
-    no rotation).
+    state.  A multiple-shooting scheme closes the gap in two passes:
 
-    Splice handover: converged trajectories still carry +-1-sample
-    emission jitter (mu hovers at the emit threshold), so a blind
-    row-cut at the boundary occasionally duplicates or drops one symbol
-    — a sync-burst per event downstream.  Instead, each boundary is cut
+      pass 1 (precursor): S-1 short windows of W samples, window j
+        ending EXACTLY where segment j+1's emit window starts.  Lane j
+        is seeded from segment j's own persisted end-of-previous-chunk
+        state (`seg_state`), with only the lock phase advanced by
+        freqw x gap — its one deterministic drift.  The outputs are
+        discarded; the only product is each lane's converged END state.
+      pass 2 (emit): segment 0 continues the carried chunk-head state
+        (exact, as in the sequential receiver); segment s>=1 seeds from
+        pass-1 lane s-1's end state, which is positioned EXACTLY at its
+        window start.  Seed error = pass-1's residual tracking error
+        (the PLL had W samples to re-converge from a < pi/4 folded
+        phase-prediction error), so emit trajectories are
+        near-sequential from their first row — no warmup rows are
+        discarded and the whole owned region is converged output.
+
+    Splice handover: the two trajectories at a boundary still carry
+    +-1-sample emission jitter (mu hovers at the emit threshold), so a
+    blind row-cut occasionally duplicates or drops one symbol — a
+    sync-burst per event downstream.  Each boundary is instead cut
     inside a T-row overlap window (outgoing segment's owned tail vs
-    incoming segment's warmup tail, both already computed) at the first
-    row where BOTH trajectories emit the SAME symbol at the SAME row:
-    the outgoing segment contributes everything through that emission,
-    the incoming one everything after it — no duplicate, no gap.  If no
-    aligned emission exists in the window (pre-lock, or persistently
-    anti-aligned jitter) it falls back to the blind boundary cut.
+    incoming segment's prefix rows, both already computed) at the first
+    row where BOTH trajectories emit the SAME symbol at the SAME row;
+    blind boundary cut as fallback.
+
+    A segment's PLL can still re-lock a QPSK quadrant away from the
+    stream frame (pass-1 phase prediction error folded mod pi/2).  The
+    rotation shows up ONLY as a fixed relabeling of that segment's hard
+    decisions, estimated per boundary from decision agreement in the
+    overlap window and undone by a label permutation; the carried
+    chunk-head state is derotated so the next chunk's segment 0
+    continues unrotated.  With persistent per-segment states the
+    prediction error is one chunk of freqw drift, so in steady state
+    the estimated rotation is 0 and both the relabel and the splice
+    degenerate to confirmations.
 
     Opt-in (MultiDvbsReceiver(segments=S)); acquisition transients are
-    absorbed by the deconvolver's per-sub-block sync election.
-    Returns (dem_state, sym [n,C], valid, cost).
+    absorbed by seg_holdoff + the deconvolver's sync election.
+    Returns (dem_state, seg_state, sym [n,C], valid, cost).
     """
     from ..dsp import receiver
     from ..dsp.mf_prefilter import mf_prefilter
     C = nchan
     T = _SEG_T
+    J = (S - 1) * C                      # precursor lanes
     ntaps1 = (len(mf_taps) - 1) if mf_taps is not None else 0
     ra = params.readahead + ntaps1
     n = x.shape[1] - ra
     nseg = n // S
-    if nseg < W or nseg < T:
-        raise ValueError(f"chunk/segments = {nseg} < warmup {W}")
-    L = W + nseg + ra
-    # Segment windows, all inside x: segment 0 starts at the chunk head
-    # (exact carried state, owned rows [0, nseg)); segment s>0 starts
-    # W samples early (predicted state, owned rows [W, W+nseg)).
-    offs = [0] + [s * nseg - W for s in range(1, S)]
-    segs = jnp.stack([x[:, o:o + L] for o in offs])
-    xs = segs.reshape(S * C, L, 2)               # lane l = s*C + c
-    # Predicted phase: sample offset from the carried state's position
-    # (chunk head) to each segment's window start, x freqw, wrapped mod
-    # 65536 in two exact steps (offsets are multiples of 128).
-    offv = jnp.repeat(jnp.asarray(np.array(offs, np.float32)), C)
+    if nseg < W + T:
+        raise ValueError(
+            f"chunk/segments = {nseg} < warmup+overlap {W + T}")
+    L2 = nseg + T                        # emit window rows
+    # Stream positions: persisted segment j's state sits at pos[j] (<=0,
+    # relative to this chunk's head); precursor window j is
+    # [b_j, b_j + W) with b_j = (j+1)*nseg - T - W, ending exactly at
+    # emit window j+1's start.  Gaps are multiples of 128, so the
+    # two-step wrap below is exact in f32.
+    pos = seg_positions(S, nseg, T)
+    b = [(j + 1) * nseg - T - W for j in range(S - 1)]
+    gap = np.array([b[j] - pos[j] for j in range(S - 1)], np.float32)
+    gapv = jnp.repeat(jnp.asarray(gap), C)
+
+    xs1 = jnp.stack([x[:, b[j]:b[j] + W + ra] for j in range(S - 1)]
+                    ).reshape(J, W + ra, 2)
+    offs2 = [0] + [s * nseg - T for s in range(1, S)]
+    xs2 = jnp.stack([x[:, o:o + L2 + ra] for o in offs2]
+                    ).reshape(S * C, L2 + ra, 2)   # lane l = s*C + c
+
     if use_pallas:
         from ..dsp import receiver_pallas as rp
-        planes = dem_state.reshape(rp.NSTATE, -1)[:, :C]
-        rep = jnp.tile(planes, (1, S))           # [NSTATE, S*C] s-major
-        adv = _wrap_u16(_wrap_u16(rep[2] * 128.0) * (offv / 128.0))
-        rep = rep.at[1].set(_wrap_u16(rep[1] + adv))
-        if mf_taps is not None:
-            xs = mf_prefilter(mf_taps, rep[2], xs)
-        nsub = max(1, -(-(S * C) // rp.LANE))
-        planes_in = jnp.pad(rep, ((0, 0), (0, nsub * rp.LANE - S * C))
-                            ).reshape(rp.NSTATE, nsub, rp.LANE)
-        st_out, packed = rp.demod_pallas(params, sym_consts, planes_in,
-                                         xs, interpret=interpret)
+
+        def tiles(flat, nl):
+            nsub = max(1, -(-nl // rp.LANE))
+            return jnp.pad(flat, ((0, 0), (0, nsub * rp.LANE - nl))
+                           ).reshape(rp.NSTATE, nsub, rp.LANE)
+
+        seg_flat = seg_state.reshape(rp.NSTATE, -1)[:, :S * C]
+        # -- pass 1: precursor windows from persisted per-segment state
+        p1 = seg_flat[:, :J]
+        adv = _wrap_u16(_wrap_u16(p1[2] * 128.0) * (gapv / 128.0))
+        p1 = p1.at[1].set(_wrap_u16(p1[1] + adv))
+        x1 = (mf_prefilter(mf_taps, p1[2], xs1)
+              if mf_taps is not None else xs1)
+        st1, _ = rp.demod_pallas(params, sym_consts, tiles(p1, J), x1,
+                                 interpret=interpret)
+        st1 = st1.reshape(rp.NSTATE, -1)[:, :J]
+        # -- pass 2: emit windows; lane 0 = carried chunk-head state,
+        # lane s>=1 = pass-1 lane s-1's exactly-positioned end state.
+        head = dem_state.reshape(rp.NSTATE, -1)[:, :C]
+        p2 = jnp.concatenate([head, st1], axis=1)
+        x2 = (mf_prefilter(mf_taps, p2[2], xs2)
+              if mf_taps is not None else xs2)
+        st2, packed = rp.demod_pallas(params, sym_consts,
+                                      tiles(p2, S * C), x2,
+                                      interpret=interpret)
         sym, valid, cost = _extract_sym_valid(packed, S * C, want_cost)
-        pl_out = st_out.reshape(rp.NSTATE, -1)[:, (S - 1) * C:S * C]
-        nsub_c = max(1, -(-C // rp.LANE))
-        dem_state = jnp.pad(pl_out, ((0, 0), (0, nsub_c * rp.LANE - C))
-                            ).reshape(rp.NSTATE, nsub_c, rp.LANE)
+        seg_out = st2.reshape(rp.NSTATE, -1)[:, :S * C]
     else:
-        rep_state = {k: jnp.tile(v, (S,) + (1,) * (v.ndim - 1))
-                     for k, v in dem_state.items()}
-        adv = _wrap_u16(_wrap_u16(rep_state["freqw"] * 128.0)
-                        * (offv / 128.0))
-        rep_state["phase"] = _wrap_u16(rep_state["phase"] + adv)
-        if mf_taps is not None:
-            xs = mf_prefilter(mf_taps, rep_state["freqw"], xs)
-        st_out, out = receiver.run_chunks(params, tables, rep_state, xs)
-        sym = out["symbol"].T                     # [W+nseg, S*C]
+        def lanes(st, lo, hi):
+            return {k: v[lo:hi] for k, v in st.items()}
+
+        p1 = lanes(seg_state, 0, J)
+        adv = _wrap_u16(_wrap_u16(p1["freqw"] * 128.0) * (gapv / 128.0))
+        p1 = dict(p1, phase=_wrap_u16(p1["phase"] + adv))
+        x1 = (mf_prefilter(mf_taps, p1["freqw"], xs1)
+              if mf_taps is not None else xs1)
+        st1, _ = receiver.run_chunks(params, tables, p1, x1)
+        p2 = {k: jnp.concatenate([dem_state[k], st1[k]], axis=0)
+              for k in dem_state}
+        x2 = (mf_prefilter(mf_taps, p2["freqw"], xs2)
+              if mf_taps is not None else xs2)
+        st2, out = receiver.run_chunks(params, tables, p2, x2)
+        sym = out["symbol"].T                     # [L2, S*C]
         valid = out["valid"].T
         cost = out["cost"].T if want_cost else None
-        dem_state = {k: v[(S - 1) * C:] for k, v in st_out.items()}
+        seg_out = st2
 
-    # Local arrays are [W+nseg, S*C].  Per-segment views:
+    # Local arrays are [L2, S*C].  Per-segment views: segment 0's local
+    # rows [0, nseg) are owned ([nseg, L2) is dead padding for window
+    # uniformity); segment s>=1's local rows [0, T) are the boundary
+    # prefix, [T, L2) owned.  The overlap at boundary s is the global
+    # rows [s*nseg-T, s*nseg): lane s-1's owned TAIL (local
+    # [nseg-T, nseg) for lane 0, [nseg, L2) otherwise — lane 0 has no
+    # prefix, so its local frame is offset by T) vs lane s's prefix.
     def seg_of(a, s):
         return a[:, s * C:(s + 1) * C]
 
     def owned_rows(s):
-        lo = 0 if s == 0 else W
+        lo = 0 if s == 0 else T
         return lo, lo + nseg
 
+    def tail_rows(s):
+        """Local rows of lane s's owned tail (the outgoing overlap)."""
+        return (nseg - T, nseg) if s == 0 else (nseg, L2)
+
     # -- Rotation correction ------------------------------------------------
-    # A segment's PLL locks to the quadrant its predicted phase lands in;
-    # under noise the freqw estimate error x a multi-thousand-sample
-    # offset regularly exceeds pi/4, so an incoming trajectory can be
-    # locked a QPSK quadrant away from the outgoing one.  Emission
-    # timing, costs and the loop dynamics are all rotation-invariant for
-    # the symmetric QPSK grid (muerr is built from p.c dot products), so
+    # A segment's PLL locks to the quadrant its pass-1 predicted phase
+    # lands in; under noise the freqw estimate error x a chunk-scale
+    # gap can exceed pi/4, so an incoming trajectory can be locked a
+    # QPSK quadrant away from the outgoing one.  Emission timing, costs
+    # and the loop dynamics are all rotation-invariant for the
+    # symmetric QPSK grid (muerr is built from p.c dot products), so
     # the rotation shows up ONLY as a fixed relabeling of the hard
     # decisions — estimated per boundary from decision agreement in the
     # overlap window (right rotation agrees ~all emissions, wrong ones
-    # ~1/4) and undone by a label permutation, with the carried state's
-    # phase derotated to match.  perms[r] maps the incoming trajectory's
-    # labels into the outgoing frame for a lock offset of r*90 degrees
-    # (layout 0:(+,+) 1:(+,-) 2:(-,+) 3:(-,-); +90 deg of lock phase
-    # rotates the derotated samples by -90: (I,Q)->(Q,-I)).
+    # ~1/4) and undone by a label permutation, with each persisted
+    # segment state's phase derotated to match.  perms[r] maps the
+    # incoming trajectory's labels into the outgoing frame for a lock
+    # offset of r*90 degrees (layout 0:(+,+) 1:(+,-) 2:(-,+) 3:(-,-);
+    # +90 deg of lock phase rotates the derotated samples by -90:
+    # (I,Q)->(Q,-I)).
     qpsk = params.nsymbols == 4
     dphase = jnp.asarray([0.0, 16384.0, 32768.0, -16384.0], jnp.float32)
 
@@ -216,19 +306,19 @@ def _demod_segmented(params, sym_consts, mf_taps, nchan, S, W, want_cost,
     # from the outgoing trajectory, >= cut from the incoming one; if no
     # anchor exists (pre-lock garbage) fall back to the blind cut at the
     # boundary.
-    sym_corr = [seg_of(sym, 0)]          # corrected [W+nseg, C] slices
+    sym_corr = [seg_of(sym, 0)]          # corrected [L2, C] slices
     masks = []
-    rot_total = jnp.zeros((C,), jnp.float32)
+    seg_rot = [jnp.zeros((C,), jnp.float32)]   # per-segment frame offset
     for s in range(1, S):
-        lo_a = (0 if s == 1 else W) + nseg - T
-        va = seg_of(valid, s - 1)[lo_a:lo_a + T]
-        sa = sym_corr[s - 1][lo_a:lo_a + T]
-        vb = seg_of(valid, s)[W - T:W]
+        ta, tb = tail_rows(s - 1)
+        va = seg_of(valid, s - 1)[ta:tb]
+        sa = sym_corr[s - 1][ta:tb]
+        vb = seg_of(valid, s)[:T]
         sb_raw = seg_of(sym, s)
         if qpsk:
             cnt = []
             for r in range(4):
-                sbr = rot_label(sb_raw[W - T:W], r)
+                sbr = rot_label(sb_raw[:T], r)
                 m = (va[:-1] & vb[:-1] & (sa[:-1] == sbr[:-1])) \
                     | (va[:-1] & vb[1:] & (sa[:-1] == sbr[1:])) \
                     | (va[1:] & vb[:-1] & (sa[1:] == sbr[:-1]))
@@ -237,15 +327,19 @@ def _demod_segmented(params, sym_consts, mf_taps, nchan, S, W, want_cost,
             rhat = jnp.argmax(cnt, axis=0)             # [C]
             # Require real evidence; keep labels raw pre-lock.
             rhat = jnp.where(cnt.max(axis=0) >= T // 8, rhat, 0)
+            if _SEG_DEBUG is not None:
+                _SEG_DEBUG.setdefault("cnt", []).append(cnt)
+                _SEG_DEBUG.setdefault("rhat", []).append(rhat)
             sseg = rot_label(sb_raw, rhat)             # relabeled segment
             # rhat maps segment s's raw labels into the BASE frame (the
-            # outgoing side is already corrected), so the last boundary's
-            # rotation IS the carried trajectory's offset vs the stream.
-            rot_total = dphase[rhat]
+            # outgoing side is already corrected), so it is also the
+            # segment's own lock-phase offset vs the stream.
+            seg_rot.append(dphase[rhat])
         else:
             sseg = sb_raw
+            seg_rot.append(seg_rot[0])
         sym_corr.append(sseg)
-        sb = sseg[W - T:W]
+        sb = sseg[:T]
         c0 = va[:-1] & vb[:-1] & (sa[:-1] == sb[:-1])        # [T-1, C]
         c1 = va[:-1] & vb[1:] & (sa[:-1] == sb[1:]) & ~va[1:]
         c2 = va[1:] & vb[:-1] & (sa[1:] == sb[:-1]) & ~vb[1:]
@@ -256,18 +350,35 @@ def _demod_segmented(params, sym_consts, mf_taps, nchan, S, W, want_cost,
         cut = jnp.where(anyc.any(axis=0), cut, T)
         masks.append(jnp.arange(T)[:, None] >= cut[None, :])
 
-    # Derotate the carried state's lock phase into the stream frame so
-    # the next chunk's segment 0 continues unrotated.
+    # Derotate every persisted segment state's lock phase into the
+    # stream frame (phase is the only frame-bearing state component the
+    # next chunk's seeding consumes; for pass-1 seeds the quadrant is
+    # re-estimated anyway, but segment S-1's state doubles as the next
+    # chunk's EXACT segment-0 seed, which must be unrotated).
     if qpsk:
+        rot_all = jnp.concatenate(seg_rot)             # [S*C]
         if use_pallas:
-            from ..dsp import receiver_pallas as rp
-            flat = dem_state.reshape(rp.NSTATE, -1)
-            ph = _wrap_u16(flat[1, :C] - rot_total)
-            dem_state = flat.at[1, :C].set(ph).reshape(dem_state.shape)
+            seg_out = seg_out.at[1].set(
+                _wrap_u16(seg_out[1] - rot_all))
         else:
-            dem_state = dict(
-                dem_state,
-                phase=_wrap_u16(dem_state["phase"] - rot_total))
+            seg_out = dict(
+                seg_out, phase=_wrap_u16(seg_out["phase"] - rot_all))
+
+    # Carried chunk-head state for the next chunk = segment S-1's end
+    # state (positioned exactly at the next chunk head).
+    if use_pallas:
+        from ..dsp import receiver_pallas as rp
+        nsub_c = max(1, -(-C // rp.LANE))
+        pl_out = seg_out[:, (S - 1) * C:S * C]
+        dem_state = jnp.pad(pl_out, ((0, 0), (0, nsub_c * rp.LANE - C))
+                            ).reshape(rp.NSTATE, nsub_c, rp.LANE)
+        nsub_sc = max(1, -(-(S * C) // rp.LANE))
+        seg_state = jnp.pad(
+            seg_out, ((0, 0), (0, nsub_sc * rp.LANE - S * C))
+        ).reshape(rp.NSTATE, nsub_sc, rp.LANE)
+    else:
+        dem_state = {k: v[(S - 1) * C:] for k, v in seg_out.items()}
+        seg_state = seg_out
 
     def splice(a, segs=None):
         parts = []
@@ -276,10 +387,9 @@ def _demod_segmented(params, sym_consts, mf_taps, nchan, S, W, want_cost,
             parts.append((segs[s] if segs else seg_of(a, s))[lo:hi])
         out = jnp.concatenate(parts, axis=0)
         for s in range(1, S):
-            lo_a = (0 if s == 1 else W) + nseg - T
-            pa = (segs[s - 1] if segs else seg_of(a, s - 1)
-                  )[lo_a:lo_a + T]
-            pb = (segs[s] if segs else seg_of(a, s))[W - T:W]
+            ta, tb = tail_rows(s - 1)
+            pa = (segs[s - 1] if segs else seg_of(a, s - 1))[ta:tb]
+            pb = (segs[s] if segs else seg_of(a, s))[:T]
             patch = jnp.where(masks[s - 1], pb, pa)
             out = jax.lax.dynamic_update_slice_in_dim(
                 out, patch, s * nseg - T, axis=0)
@@ -288,7 +398,7 @@ def _demod_segmented(params, sym_consts, mf_taps, nchan, S, W, want_cost,
     sym = splice(sym, sym_corr)
     valid = splice(valid)
     cost = splice(cost) if want_cost else None
-    return dem_state, sym, valid, cost
+    return dem_state, seg_state, sym, valid, cost
 
 
 @partial(jax.jit, static_argnames=(
@@ -297,7 +407,7 @@ def _demod_segmented(params, sym_consts, mf_taps, nchan, S, W, want_cost,
     "segments", "seg_warmup"))
 def _fused_chunk(params, sym_consts, mf_taps, nchan, kind, plan, plan_dec,
                  maps, schedule, use_pallas, interpret,
-                 tables, dem_state, dstate, x,
+                 tables, dem_state, seg_state, dstate, x,
                  segments=1, seg_warmup=2048):
     """ONE device program for a whole chunk: [matched filter] -> demod
     (Pallas kernel or XLA scan) -> sym/valid/cost extraction -> ring
@@ -316,9 +426,10 @@ def _fused_chunk(params, sym_consts, mf_taps, nchan, kind, plan, plan_dec,
     from ..fec.viterbi_device import viterbi_decode
     want_cost = kind.startswith("viterbi")
     if segments > 1:
-        dem_state, sym, valid, cost = _demod_segmented(
+        dem_state, seg_state, sym, valid, cost = _demod_segmented(
             params, sym_consts, mf_taps, nchan, segments, seg_warmup,
-            want_cost, use_pallas, interpret, tables, dem_state, x)
+            want_cost, use_pallas, interpret, tables, dem_state,
+            seg_state, x)
     else:
         if mf_taps is not None:
             freqw = (dem_state[2].reshape(-1)[:nchan] if use_pallas
@@ -358,7 +469,7 @@ def _fused_chunk(params, sym_consts, mf_taps, nchan, kind, plan, plan_dec,
                 dstate, by, errs, under = deconv_decode(plan_dec, dstate)
             flat += [by, errs, under]
     packed_out = _pack_fetch(len(flat) // 3, dstate["fill"], *flat)
-    return dem_state, dstate, packed_out
+    return dem_state, seg_state, dstate, packed_out
 
 
 @partial(jax.jit, static_argnames=("nchan", "want_cost"))
@@ -576,6 +687,8 @@ class MultiDvbsReceiver:
         self.seg_warmup = seg_warmup
         self.seg_holdoff = seg_holdoff
         self._chunk_count = 0
+        self._seg_state = None     # per-segment persisted demod state
+        self._seg_nseg = 0         # segment length it was built for
         cstln = make_dvbs2_constellation(cfg.constellation, cfg.rate)
         self.cstln = cstln
         exact = resolve_exact_lut(cfg.exact_lut)
@@ -742,7 +855,19 @@ class MultiDvbsReceiver:
         dem_state = self._planes if self.use_pallas else self.state
         S = (self.segments
              if self._chunk_count >= self.seg_holdoff else 1)
-        dem_state, dstate, packed_out = _fused_chunk(
+        if S > 1:
+            # Per-segment persisted states assume a constant segment
+            # length; (re)build them from the carried chunk-head state
+            # when cold or when the chunk size changed.
+            nseg = n // S
+            if self._seg_state is None or self._seg_nseg != nseg:
+                self._seg_state = init_seg_state(
+                    self.use_pallas, dem_state, self.nchan, S, nseg)
+                self._seg_nseg = nseg
+            seg_state = self._seg_state
+        else:
+            seg_state = jnp.zeros((0,), jnp.float32)
+        dem_state, seg_state, dstate, packed_out = _fused_chunk(
             self.params,
             self._sym_consts if self.use_pallas else None,
             self.mf_taps, self.nchan, self.deconv.kind,
@@ -751,9 +876,11 @@ class MultiDvbsReceiver:
             (self._interpret if self.use_pallas
              else getattr(self.deconv, "interpret", False)),
             None if self.use_pallas else self.tables,
-            dem_state, self.deconv.state, x,
+            dem_state, seg_state, self.deconv.state, x,
             segments=S, seg_warmup=self.seg_warmup)
         self._chunk_count += 1
+        if S > 1:
+            self._seg_state = seg_state
         if self.use_pallas:
             self._planes = dem_state
         else:
@@ -867,9 +994,15 @@ class MultiDvbsReceiver:
         dhost = {k: getattr(self.deconv, k)
                  for k in self._DECONV_HOST_FIELDS
                  if hasattr(self.deconv, k)}
+        seg = self._seg_state
+        if seg is not None:
+            seg = (np.asarray(seg) if self.use_pallas
+                   else {k: np.asarray(v) for k, v in seg.items()})
         return pickle.dumps({
             "use_pallas": self.use_pallas,
             "dev": dev,
+            "seg_state": seg,
+            "seg_nseg": self._seg_nseg,
             "deconv_state": dstate,
             "deconv_host": dhost,
             "backend": self.backend.save_blob(),
@@ -900,6 +1033,12 @@ class MultiDvbsReceiver:
         self.backend.restore_blob(d["backend"])
         self.sample_backlog = d["sample_backlog"]
         self._chunk_count = d.get("chunk_count", 0)
+        seg = d.get("seg_state")
+        if seg is not None:
+            seg = (jnp.asarray(seg) if self.use_pallas
+                   else {k: jnp.asarray(v) for k, v in seg.items()})
+        self._seg_state = seg
+        self._seg_nseg = d.get("seg_nseg", 0)
 
     def metrics(self):
         """Per-channel measurement snapshot (one small host fetch —

@@ -13,9 +13,25 @@ from pathlib import Path
 
 
 def machine_tag() -> str:
+    # The ISA flag line alone is NOT discriminating enough: two CPUs
+    # with identical flags but different models get different LLVM
+    # tuning features (+prefer-no-gather/-scatter etc. come from the
+    # model, not from cpuid flags), and XLA:CPU AOT results embed those
+    # (observed r5: a cache written on a sibling machine loaded here
+    # with a feature-mismatch warning and produced wrong numerics).
+    # Key by vendor/family/model/stepping/model-name + flags.
+    keys = ("vendor_id", "cpu family", "model", "model name",
+            "stepping", "flags")
     try:
         with open("/proc/cpuinfo") as f:
-            cpu = next((l for l in f if l.startswith("flags")), "")
+            lines = []
+            for line in f:
+                k = line.split(":")[0].strip()
+                if k in keys:
+                    lines.append(line.strip())
+                if k == "flags":
+                    break          # first core is enough
+            cpu = "\n".join(lines)
     except OSError:
         import platform
         cpu = platform.processor()

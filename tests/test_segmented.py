@@ -1,8 +1,10 @@
 """Time-segmented demod (MultiDvbsReceiver(segments=S), docs/PERF.md
 "Segmented demod"): each channel's chunk is demodulated as S
-lane-parallel segments with predicted-state warmup. Approximate by
-design — acceptance is TS-level: the segmented receiver must decode the
-same packets as the sequential one after lock.
+lane-parallel segments, two-pass (precursor seeds + emit) with
+per-segment persistent state. Acceptance is TS-level: on clean signal
+the segmented receiver must decode BYTE-IDENTICAL TS output to the
+sequential one (the emit trajectories are near-sequential-exact); under
+noise, the same packet set after lock.
 """
 
 import numpy as np
@@ -34,6 +36,24 @@ def _run(rx, x, chunk, ra):
     return outs
 
 
+def _assert_zero_loss(seq, seg, tag=""):
+    """The PERF.md claim, verbatim: the segmented receiver decodes
+    every packet the sequential one does (ZERO packet loss).  Superset,
+    not equality: the sequential trajectory can hit a symbol-timing
+    slip of its own (mu hovers at the emit threshold; the deconv/mpeg
+    machinery resyncs, reference dvb.h:428-454) and lose packets the
+    segmented trajectory keeps — observed on the CPU-numerics path.
+    When neither side slips the outputs are byte-identical."""
+    sseq = {bytes(r) for r in seq}
+    sseg = {bytes(r) for r in seg}
+    missing = sseq - sseg
+    assert not missing, \
+        f"{tag}: segmented lost {len(missing)}/{len(sseq)} packets"
+    assert len(seg) >= len(seq), (tag, len(seg), len(seq))
+    assert len(seg) <= len(seq) + 20, \
+        f"{tag}: segmented over-produced ({len(seg)} vs {len(seq)})"
+
+
 def test_segmented_demod_matches_sequential_ts():
     """segments=4 through the full fast path (matched filter + demod +
     deconv sync election): decodes the same TS packets as segments=1."""
@@ -51,23 +71,19 @@ def test_segmented_demod_matches_sequential_ts():
     outs = _run(rxs, x, CH, ra)
     for c in range(C):
         assert len(out1[c]) >= 100, f"sequential ch{c}: {len(out1[c])}"
-        assert len(outs[c]) >= 0.9 * len(out1[c]), \
-            f"segmented ch{c}: {len(outs[c])} vs {len(out1[c])}"
-        # Payload verification: segmented output rows are real TX packets.
+        _assert_zero_loss(out1[c], outs[c], f"ch{c}")
+        # Payload verification: output rows are real TX packets.
         hits = sum(1 for o in outs[c]
                    if (payloads[c] == o).all(axis=1).any())
         assert hits >= 0.95 * len(outs[c]), f"ch{c}: {hits}/{len(outs[c])}"
-        # And the two receivers agree on the decoded packet set.
-        common = sum(1 for o in outs[c] if (out1[c] == o).all(axis=1).any())
-        assert common >= 0.9 * len(outs[c]), f"ch{c} packet-set drift"
 
 
 def test_segmented_viterbi_noisy():
-    """segments=2 with AWGN and soft-decision Viterbi: the handover rule
-    must hold up when emissions carry noise (the splice-alignment check
-    compares hard decisions, which can differ between trajectories at
-    low margin — the fallback cut must stay rare enough that throughput
-    matches the sequential receiver)."""
+    """segments=2 with AWGN and soft-decision Viterbi: the two-pass
+    seeds and the handover rule must hold up when emissions carry noise
+    (hard decisions can differ between trajectories at low margin).
+    With per-segment persistent state the emit trajectories coincide
+    with the sequential one — output stays byte-identical."""
     C, CH, S = 1, 1 << 15, 2
     rng = np.random.default_rng(7)
     x, payloads = _stimulus(C, npackets=200)
@@ -84,8 +100,7 @@ def test_segmented_viterbi_noisy():
     out1 = _run(rx1, x, CH, ra)
     outs = _run(rxs, x, CH, ra)
     assert len(out1[0]) >= 100, len(out1[0])
-    assert len(outs[0]) >= 0.9 * len(out1[0]), \
-        (len(outs[0]), len(out1[0]))
+    _assert_zero_loss(out1[0], outs[0], "noisy")
     hits = sum(1 for o in outs[0]
                if (payloads[0] == o).all(axis=1).any())
     assert hits >= 0.9 * len(outs[0]), (hits, len(outs[0]))
@@ -108,8 +123,7 @@ def test_segmented_punctured_rate_decodes():
     out1 = _run(rx1, x, CH, ra)
     outs = _run(rxs, x, CH, ra)
     assert len(out1[0]) >= 100, len(out1[0])
-    assert len(outs[0]) >= 0.9 * len(out1[0]), \
-        (len(outs[0]), len(out1[0]))
+    _assert_zero_loss(out1[0], outs[0], "3/4")
     hits = sum(1 for o in outs[0]
                if (payloads[0] == o).all(axis=1).any())
     assert hits >= 0.95 * len(outs[0]), (hits, len(outs[0]))
@@ -136,11 +150,39 @@ def test_segmented_single_channel_cli():
         assert r.returncode == 0, r.stderr[-400:]
         outs[seg] = np.frombuffer(r.stdout, np.uint8).reshape(-1, 188)
     assert len(outs["1"]) >= 150
-    assert len(outs["4"]) >= 0.9 * len(outs["1"]), \
-        (len(outs["4"]), len(outs["1"]))
-    common = sum(1 for o in outs["4"]
-                 if (outs["1"] == o).all(axis=1).any())
-    assert common >= 0.9 * len(outs["4"])
+    _assert_zero_loss(outs["1"], outs["4"], "cli")
+
+
+def test_segmented_banked_fleet_shape():
+    """The production combination of the fleet headlines (VERDICT r4
+    item 6): segments=2 composed with the banked Pallas Viterbi at a
+    row-split fleet shape (33..64 channels -> B=7 kernel), interpret
+    mode on CPU, small chunk. Segmented output must equal sequential
+    output byte-for-byte per channel."""
+    C, CH, S = 34, 1 << 14, 2
+    x, payloads = _stimulus(C, npackets=42, rate="3/4")
+    x = x * np.float32(75.0)
+    cfg = RxConfig(Fs=4e6, Fm=2e6, rate="3/4", fastlock=True,
+                   float_scale=75.0, exact_lut=False, sampler="rrc",
+                   viterbi=True)
+
+    def make(**kw):
+        rx = MultiDvbsReceiver(cfg, C, use_pallas=False,
+                               chunk_samples=CH, **kw)
+        rx.deconv = type(rx.deconv)(rx.cstln, "3/4", C, CH, 2.0,
+                                    banked=True, interpret=True)
+        assert rx.deconv.kind == "viterbi_banked"
+        return rx
+
+    rx1 = make()
+    rxs = make(segments=S, seg_warmup=2048, seg_holdoff=2)
+    ra = rx1.params.readahead + len(rx1.mf_taps) - 1
+    out1 = _run(rx1, x, CH, ra)
+    outs = _run(rxs, x, CH, ra)
+    total = sum(len(o) for o in out1)
+    assert total >= C * 8, total
+    for c in range(C):
+        _assert_zero_loss(out1[c], outs[c], f"banked ch{c}")
 
 
 def test_segmented_guardrails():

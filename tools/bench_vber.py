@@ -126,6 +126,80 @@ def run_point(ratio: str, snrtarget: float, opts: dict,
     }
 
 
+def run_qef_point(ratio: str, snrtarget: float, opts: dict,
+                  npackets=20000, use_ref=False, seed=None):
+    """QEF-bound measurement (VERDICT r4 item 3): process the WHOLE
+    capture (no early stop) and report the cumulative VBER =
+    total corrected+uncorrected bits / total bits through the Viterbi
+    output — enough statistics at npackets>=20k (3e7 bits) to resolve
+    the DVB-S QEF criterion VBER <= 2e-4 with thousands of error
+    events (leandvb_bench.gnuplot:20-21,40).  `segments` in opts routes
+    the segmented receiver (threshold parity check)."""
+    from leansdr_tpu.pipelines import tsgen, dvbs_tx, chansim
+    from leansdr_tpu.pipelines.dvbs_rx import DvbsReceiver, RxConfig
+    from leansdr_tpu.util.iofmt import write_iq
+
+    symbrate = 1e6
+    r = Fraction(ratio)
+    samprate = symbrate * r.numerator / r.denominator
+    sigpow = snrtarget
+    float_scale = 10 * np.sqrt(float(r))
+    pkts = tsgen.generate(npackets)
+    txcfg = dvbs_tx.TxConfig(
+        amp=dvbs_tx.power_to_amp(sigpow), agc=True,
+        interp=r.numerator, decim=r.denominator)
+    iq = dvbs_tx.modulate(pkts, txcfg)
+    ch = chansim.ChansimConfig(awgn=1.0, deterministic=True, seed=seed)
+    iq = chansim.simulate(iq, ch)
+
+    if use_ref:
+        ref = Path(__file__).resolve().parent.parent \
+            / ".ref_build/src/apps"
+        flags = []
+        if opts.get("viterbi"):
+            flags.append("--viterbi")
+        if opts.get("sampler"):
+            flags += ["--sampler", opts["sampler"]]
+        cmd = [str(ref / "leandvb"), "--f32", "--float-scale",
+               str(float_scale), "-f", str(samprate), "--sr",
+               str(symbrate), "--anf", "0", "--fd-info", "2"] + flags
+        p = subprocess.run(cmd, input=write_iq(iq, "f32"),
+                           capture_output=True)
+        vbers, locktime = [], 0
+        for line in p.stderr.decode(errors="replace").splitlines():
+            parts = line.split()
+            if len(parts) != 2:
+                continue
+            if parts[0] == "VBER":
+                vbers.append(float(parts[1]))
+            elif parts[0] == "LOCKTIME":
+                locktime = max(locktime, int(parts[1]))
+        # The reference's VBER stream is equal-size windows (>=50k bits,
+        # generic.h:272-305): the unweighted mean over windows IS the
+        # cumulative rate over the measured span.
+        return {"locked": locktime >= 1000, "locktime": locktime,
+                "vber": float(np.mean(vbers)) if vbers else None,
+                "nwindows": len(vbers),
+                "ts_packets": len(p.stdout) // 188}
+
+    rxopts = dict(opts)
+    segments = rxopts.pop("segments", 1)
+    cfg = RxConfig(Fs=samprate, Fm=symbrate, rate="1/2",
+                   float_scale=float_scale, anf=0, cnr=False,
+                   fastlock=False, segments=segments, **rxopts)
+    rx = DvbsReceiver(cfg)
+    CH = 1 << 17
+    locktime = 0
+    npk = 0
+    for i in range(0, len(iq), CH):
+        npk += len(rx.process(iq[i:i + CH]))
+        locktime = max(locktime, rx.locktime)
+    return {"locked": locktime >= 1000, "locktime": locktime,
+            "vber": (rx.verrcount / rx.vbitcount
+                     if rx.vbitcount else None),
+            "nbits": int(rx.vbitcount), "ts_packets": npk}
+
+
 def _run_ref_point(iq, samprate, symbrate, float_scale, opts, minpackets):
     from leansdr_tpu.util.iofmt import write_iq
     ref = Path(__file__).resolve().parent.parent / ".ref_build/src/apps"
@@ -179,7 +253,45 @@ def main():
                     help="srand48-style noise seed (default: the "
                          "reference's --deterministic stream)")
     ap.add_argument("--out", default="leandvb_bench_results.txt")
+    ap.add_argument("--qef", action="store_true",
+                    help="QEF-bound mode: full-capture cumulative VBER "
+                         "at the given --snr (default grid 4.5/5.0), "
+                         "npackets>=20000 recommended")
+    ap.add_argument("--segments", type=int, default=1,
+                    help="QEF mode: run the segmented receiver")
     args = ap.parse_args()
+
+    if args.qef:
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True).stdout.strip()
+        platform = "ref_leandvb" if args.ref else "leansdr_tpu"
+        if args.segments > 1:
+            platform += f"-seg{args.segments}"
+        sel = args.series or ["4.2sps-viterbi-rrc"]
+        rows = []
+        for name in sel:
+            ratio, _, opts = SERIES[name]
+            if args.segments > 1:
+                opts = dict(opts, segments=args.segments)
+            snrs = [args.snr] if args.snr is not None else [4.5, 5.0]
+            for snr in snrs:
+                r = run_qef_point(ratio, snr, opts,
+                                  npackets=args.npackets,
+                                  use_ref=args.ref, seed=args.seed)
+                verdict = ("PASS" if r["locked"] and r["vber"] is not None
+                           and r["vber"] <= 2e-4 else "FAIL")
+                row = (f"# QEF git:{commit} {platform} {name} "
+                       f"snr={snr} seed={args.seed} "
+                       f"locked={r['locked']} locktime={r['locktime']} "
+                       f"vber={r['vber']} "
+                       f"n={r.get('nbits', r.get('nwindows'))} "
+                       f"ts={r['ts_packets']} -> {verdict}")
+                print(row)
+                rows.append(row)
+        with open(args.out, "a") as f:
+            f.write("\n".join(rows) + "\n")
+        return
 
     sel = args.series or list(SERIES)
     rows = ["# commit platform sampling_ratio RXSNR CNR SS MER "
@@ -187,9 +299,13 @@ def main():
     commit = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
                             capture_output=True, text=True).stdout.strip()
     platform = "ref_leandvb" if args.ref else "leansdr_tpu"
+    if args.segments > 1 and not args.ref:
+        platform += f"-seg{args.segments}"
     seedtag = "" if args.seed is None else f" seed={args.seed}"
     for name in sel:
         ratio, snrs, opts = SERIES[name]
+        if args.segments > 1 and not args.ref:
+            opts = dict(opts, segments=args.segments)
         rows.append(f"\n# {name}.{seedtag}")
         for snr in snrs:
             if args.snr is not None and abs(snr - args.snr) > 1e-9:
