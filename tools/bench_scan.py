@@ -54,11 +54,12 @@ def build_reference():
     return apps
 
 
-def make_capture(npackets):
+def make_capture(npackets, rate="3/4", interp=4, decim=1):
     from leansdr_tpu.pipelines import tsgen, dvbs_tx
     from leansdr_tpu.util.iofmt import write_iq
     pkts = tsgen.generate(npackets)
-    iq = dvbs_tx.modulate(pkts, dvbs_tx.TxConfig(rate="3/4", interp=4))
+    iq = dvbs_tx.modulate(pkts, dvbs_tx.TxConfig(rate=rate, interp=interp,
+                                                 decim=decim))
     f = tempfile.NamedTemporaryFile(suffix=".f32", delete=False)
     f.write(write_iq(iq, "f32"))
     f.close()
@@ -134,32 +135,35 @@ def time_to_first_ts_live(cmd, capture, rate_bps, timeout=600):
         errors="replace")
 
 
-def main_live(npackets):
-    """LIVE scan race at the real stream rate (6 Msps f32 = 48 MB/s):
+def main_live(npackets, fs=6e6, sr=SR, cr=CR, cap_rate="3/4",
+              cap_interp=4, cap_decim=1, tag=""):
+    """LIVE scan race at the real stream rate (f32 IQ at fs):
     the serial scan burns >= timeout seconds of SIGNAL per wrong
     candidate (grid order), while the device scan watches every
     candidate on the same samples and elects at the right candidate's
     lock time.  This is the deployment-relevant metric — a file scan is
     bottlenecked by single-candidate decode speed, which the reference
     wins trivially (it EOFs wrong candidates in milliseconds)."""
-    capture = make_capture(npackets)
-    rate_bps = int(6e6 * 8)          # 6 Msps f32 IQ
+    capture = make_capture(npackets, rate=cap_rate, interp=cap_interp,
+                           decim=cap_decim)
+    rate_bps = int(fs * 8)
+    fss = f"{fs:g}"
     try:
         apps = build_reference()
         ref_cmd = [str(apps / "leansdrscan"), "--timeout", "1",
-                   str(apps / "leandvb"), "--f32", "-f", "6e6",
-                   "--sr", SR, "--cr", CR, "--anf", "0"]
+                   str(apps / "leandvb"), "--f32", "-f", fss,
+                   "--sr", sr, "--cr", cr, "--anf", "0"]
         dt_ref, _ = time_to_first_ts_live(ref_cmd, capture, rate_bps)
-        print(json.dumps({"metric": "live_scan_to_lock_s",
+        print(json.dumps({"metric": "live_scan_to_lock_s" + tag,
                           "who": "reference_serial_fork_exec",
                           "value": round(dt_ref, 2) if dt_ref else None,
-                          "grid": f"{SR} x {CR}"}), flush=True)
+                          "grid": f"{sr} x {cr}"}), flush=True)
 
         our_cmd = [sys.executable, "-m", "leansdr_tpu.apps.leansdrscan",
                    "--device", "-t", "600",
                    sys.executable, "-m", "leansdr_tpu.apps.leandvb",
-                   "--f32", "--float-scale", "75", "-f", "6e6",
-                   "--sr", SR, "--cr", CR, "--anf", "0"]
+                   "--f32", "--float-scale", "75", "-f", fss,
+                   "--sr", sr, "--cr", cr, "--anf", "0"]
         dt_dev, err = time_to_first_ts_live(our_cmd, capture, rate_bps)
         signal_s = None
         for line in err.splitlines():          # election line: "(X.XXs)"
@@ -169,7 +173,7 @@ def main_live(npackets):
                         line.split("(")[1].split("s)")[0])
                 except ValueError:
                     pass
-        print(json.dumps({"metric": "live_scan_to_lock_s",
+        print(json.dumps({"metric": "live_scan_to_lock_s" + tag,
                           "who": "device_batch_scan",
                           "value": round(dt_dev, 2) if dt_dev else None,
                           "election_signal_s": signal_s,
@@ -186,6 +190,18 @@ def main():
     npackets = 400
     if "--packets" in sys.argv:
         npackets = int(sys.argv[sys.argv.index("--packets") + 1])
+    if "--canonical" in sys.argv:
+        # The reference's canonical quick-start scan (README.md:57):
+        # 4 SR x 5 CR = 20 candidates at Fs=2.4 Msps.  Capture at
+        # SR=500e3 CR=5/6 (4.8 samples/symbol: interp 24 / decim 5) —
+        # deep in the serial grid order, 20 candidates in one device
+        # batch for ours.
+        main_live(npackets, fs=2.4e6,
+                  sr="2000e3,1000e3,500e3,250e3",
+                  cr="1/2,2/3,3/4,5/6,7/8",
+                  cap_rate="5/6", cap_interp=24, cap_decim=5,
+                  tag="_canonical20")
+        return
     if "--live" in sys.argv:
         main_live(npackets)
         return
