@@ -246,6 +246,16 @@ def main():
             punct[f"{key}_realtime_x_{nc}x2msps"] = round(v / rt, 2)
         except Exception as e:
             punct[f"{key}_{nc}ch_error"] = repr(e)[:200]
+    # Fleet capacity (docs/PERF.md "Fleet capacity"): the 128-carrier
+    # full-chain row — the recorded real-time-with-margin shape (chain
+    # throughput plateaus ~450 Msps/chip by 256 ch, so ~220 x 2 Msps
+    # carriers fit ONE chip at exactly 1x; 128 is the margin point).
+    try:
+        cap = _chain_bench(rate="1/2", nchan=128, segments=8)
+        punct["fleet128_chain12_msps"] = round(cap, 1)
+        punct["fleet128_realtime_x_128x2msps"] = round(cap / 256.0, 2)
+    except Exception as e:
+        punct["fleet128_error"] = repr(e)[:200]
     peak = _demod_peak()
     try:
         import sys
