@@ -39,6 +39,12 @@ def machine_tag() -> str:
 
 
 def setup_cache(repo_root: Path | str | None = None) -> None:
+    """Enable the machine-keyed persistent cache.  LEANSDR_NO_JAX_CACHE=1
+    skips it entirely (diagnostic: the cache load/write path is the one
+    place zstandard + AOT deserialization run inside test processes)."""
+    import os
+    if os.environ.get("LEANSDR_NO_JAX_CACHE"):
+        return
     import jax
     root = Path(repo_root) if repo_root else \
         Path(__file__).resolve().parent.parent.parent
