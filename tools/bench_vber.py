@@ -259,6 +259,8 @@ def main():
                          "npackets>=20000 recommended")
     ap.add_argument("--segments", type=int, default=1,
                     help="QEF mode: run the segmented receiver")
+    ap.add_argument("--seg-warmup", type=int, default=None,
+                    help="segmented precursor window (samples)")
     args = ap.parse_args()
 
     if args.qef:
@@ -306,6 +308,8 @@ def main():
         ratio, snrs, opts = SERIES[name]
         if args.segments > 1 and not args.ref:
             opts = dict(opts, segments=args.segments)
+            if args.seg_warmup:
+                opts["seg_warmup"] = args.seg_warmup
         rows.append(f"\n# {name}.{seedtag}")
         for snr in snrs:
             if args.snr is not None and abs(snr - args.snr) > 1e-9:
