@@ -2,14 +2,24 @@
 # The CI test entry (VERDICT r4 item 2).
 #
 # `pytest tests/` in ONE process is the default and expected-green
-# path.  Round 4's tail-of-suite SIGABRT came from XLA:CPU AOT cache
-# entries written by a SIBLING machine with identical /proc/cpuinfo
-# flags but different LLVM tuning features: loading them is only a
-# warning ("could lead to execution errors such as SIGILL") and was
-# observed to both corrupt numerics and abort the interpreter late in
-# the run once hundreds of programs had been loaded.  Round 5 keys the
-# cache by CPU model identity (util/jax_cache.machine_tag), which makes
-# foreign entries unreachable; this script additionally:
+# path.  Root cause of the round-4 tail-of-suite crash, bisected in
+# round 5 (two separate defects):
+#   1. WRONG NUMERICS from foreign AOT cache entries: a sibling machine
+#      with identical /proc/cpuinfo flags but a different CPU model
+#      produces different LLVM tuning features; XLA loads its cache
+#      entries anyway (warning only: "could lead to ... SIGILL") and
+#      computes wrong results.  FIXED: the cache key now includes CPU
+#      model identity (util/jax_cache.machine_tag).
+#   2. CRASH (SIGABRT or SIGSEGV, same stack) INSIDE XLA:CPU
+#      backend_compile_and_load after ~190 tests' worth of live
+#      compiled programs in one interpreter.  Reproduced with a fresh
+#      same-machine cache AND with cache writes disabled
+#      (LEANSDR_TEST_CACHE_RO=1), so it is resource accumulation in
+#      XLA:CPU compilation itself, not the cache path.  MITIGATED:
+#      tests/conftest.py drops jax's in-process executable caches every
+#      LEANSDR_TEST_CLEAR_EVERY (default 40) tests, bounding the number
+#      of live programs; recompiles reload from the persistent cache.
+# This script additionally:
 #   * runs the suite in one process first (the CI definition of green);
 #   * on an abnormal exit (SIGABRT/SIGSEGV — NOT test failures), falls
 #     back to per-file shards so a crashing interpreter still yields a
